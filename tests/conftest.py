@@ -1,0 +1,34 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax initializes its backends, so this happens
+at conftest import time (pytest imports conftest before test modules).
+The same jitted frame functions run identically on CPU and TPU; sharding
+tests use the 8 virtual devices.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import sys
+
+import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_MODELS = pathlib.Path("/root/reference/models")
+
+
+@pytest.fixture(scope="session")
+def duck_gltf_path():
+    p = REFERENCE_MODELS / "scene.gltf"
+    if not p.exists():
+        pytest.skip("reference Duck assets not available")
+    return p

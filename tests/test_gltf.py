@@ -1,0 +1,94 @@
+"""glTF loader vs the reference Duck assets + packing invariants."""
+
+import numpy as np
+import pytest
+
+from funky_tpu.models.gltf import GltfScene
+from funky_tpu.models.scene import (FLAG_USE_TEXTURE, OBJ_GROUND, OBJ_MODEL,
+                                    build_cube_scene, build_device_scene)
+
+
+@pytest.fixture(scope="module")
+def duck(duck_gltf_path):
+    return GltfScene.load(duck_gltf_path)
+
+
+def test_duck_counts(duck):
+    # The Duck sample: one mesh primitive, one material, one texture.
+    assert len(duck.meshes) == 1
+    assert len(duck.materials) >= 1
+    assert len(duck.textures) == 1
+
+
+def test_duck_geometry(duck):
+    mesh = duck.meshes[0]
+    v = mesh.vertices
+    n = len(v.positions)
+    assert n > 1000  # the Duck has ~2400 verts
+    assert v.normals.shape == (n, 3)
+    assert v.tex_coords.shape == (n, 2)
+    assert v.colors.shape == (n, 3)
+    assert mesh.indices.ndim == 1 and len(mesh.indices) % 3 == 0
+    assert mesh.indices.max() < n
+    # Normals should be unit length (the Duck ships real normals).
+    lens = np.linalg.norm(v.normals, axis=1)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-2)
+
+
+def test_duck_bounds(duck):
+    # Raw (node-transform-free) Duck bounds are in centimetres: the model
+    # is ~160 units tall/long. The reference stores raw bounds too
+    # (gltf_loader.rs:166-179) and scales by gltf_scale=0.01 at draw time.
+    ext = duck.bounds_max - duck.bounds_min
+    assert ext.max() > 50.0
+    assert np.all(duck.bounds_min < duck.bounds_max)
+
+
+def test_duck_texture(duck):
+    tex = duck.textures[0]
+    assert tex.data.shape == (tex.height, tex.width, 4)
+    assert tex.data.dtype == np.uint8
+    # DuckCM.png is a colorful yellowish texture; mean should be sane.
+    mean = tex.data[..., :3].mean()
+    assert 30 < mean < 230
+
+
+def test_duck_material(duck):
+    mat = duck.materials[duck.meshes[0].material_index or 0]
+    assert mat.base_color_texture_index is not None
+
+
+def test_device_scene_packing(duck):
+    ds = build_device_scene(duck)
+    # Padded to lanes
+    assert ds.positions.shape[0] % 128 == 0
+    assert ds.tri_indices.shape[0] % 128 == 0
+    assert ds.num_triangles <= ds.tri_indices.shape[0]
+    # Ground is object 0 with useTexture off; duck object 1 textured.
+    to = np.asarray(ds.tri_object)[:ds.num_triangles]
+    tf = np.asarray(ds.tri_flags)[:ds.num_triangles]
+    assert set(np.unique(to)) == {OBJ_GROUND, OBJ_MODEL}
+    assert np.all(tf[to == OBJ_GROUND] == 0)
+    assert np.all(tf[to == OBJ_MODEL] == FLAG_USE_TEXTURE)
+    # Ground triangles come first (draw order parity).
+    assert np.all(to[:2] == OBJ_GROUND)
+    # Texture is linear float RGBA.
+    assert ds.texture.dtype == np.float32
+    assert float(ds.texture.max()) <= 1.0
+
+
+def test_device_scene_color_bake(duck):
+    ds = build_device_scene(duck)
+    mat = duck.materials[duck.meshes[0].material_index or 0]
+    # Duck vertices (after the 4 ground verts) carry the material base color.
+    col = np.asarray(ds.colors)[4:8]
+    np.testing.assert_allclose(col, np.tile(mat.base_color[:3], (4, 1)),
+                               atol=1e-6)
+
+
+def test_cube_scene():
+    ds = build_cube_scene()
+    assert ds.num_vertices == 24
+    assert ds.num_triangles == 12
+    col = np.asarray(ds.colors)[0]
+    np.testing.assert_allclose(col, [0.45, 0.70, 0.75], atol=1e-6)
