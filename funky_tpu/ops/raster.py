@@ -1,0 +1,133 @@
+"""Tile raster: depth-tested visibility-buffer rasterization.
+
+Replaces the hardware rasterizer + depth test of the reference's graphics
+pipelines (gltf_renderer.rs:1324-1444 main, 1095-1230 shadow). Output is a
+*visibility buffer*: per pixel the winning triangle id and its NDC depth.
+All attribute interpolation and shading is deferred (passes/deferred.py),
+which keeps this inner loop tiny and makes shading a perfectly regular
+vectorized pass — the TPU-friendly split of the classic forward pipeline.
+
+Two interchangeable implementations:
+- jnp: vmap-over-tiles + lax.scan over bin entries. Runs anywhere (CPU
+  tests); XLA vectorizes the (tile_h, tile_w) coverage math on the VPU.
+- pallas (ops/raster_pallas.py): same algorithm as a hand-tiled TPU kernel
+  with per-tile dynamic trip counts (scalar-prefetched bin counts), VMEM
+  z/id scratch, and no padded-capacity waste.
+
+Depth semantics: compare LESS with clear depth 1.0 (main pass,
+gltf_renderer.rs:1411, 2252-2267); fragments outside z in [0, 1] are
+clipped. Ties keep the lower triangle id (draw order), matching LESS.
+Shadow pass uses LESS_OR_EQUAL in the reference (gltf_renderer.rs:1204) —
+identical final depth values except exact ties, which resolve to the same
+depth either way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    tile_h: int = 32
+    tile_w: int = 128
+    capacity: int = 256
+    backend: str = "auto"   # "jnp" | "pallas" | "auto" (pallas on TPU)
+
+    def tiles(self, width: int, height: int) -> Tuple[int, int]:
+        return -(-height // self.tile_h), -(-width // self.tile_w)
+
+
+def _backend(cfg: RasterConfig) -> str:
+    if cfg.backend != "auto":
+        return cfg.backend
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+def rasterize(bin_data: jnp.ndarray, bins: jnp.ndarray, counts: jnp.ndarray,
+              width: int, height: int,
+              cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rasterize binned triangles.
+
+    Args:
+      bin_data: (n_tiles, C, 12) per-entry raster rows (bary planes + z
+        plane) from binning.gather_bin_data.
+      bins: (n_tiles, C) triangle ids, -1 padding.
+      counts: (n_tiles,) real entry counts.
+      width/height: framebuffer size.
+
+    Returns:
+      tri_id: (H, W) int32, -1 where empty.
+      depth:  (H, W) float32 NDC depth, 1.0 where empty.
+    """
+    if _backend(cfg) == "pallas":
+        from .raster_pallas import rasterize_pallas
+
+        return rasterize_pallas(bin_data, bins, counts, width, height, cfg)
+    return _rasterize_jnp(bin_data, bins, counts, width, height, cfg)
+
+
+def raster_scene(clip: jnp.ndarray, tri_indices: jnp.ndarray,
+                 width: int, height: int, num_triangles: int,
+                 cfg: RasterConfig):
+    """Full raster pipeline: setup -> bin -> gather -> rasterize.
+
+    Returns (tri_id (H,W) i32, depth (H,W) f32, TriangleSetup).
+    """
+    from .binning import bin_triangles, gather_bin_data, triangle_setup
+
+    setup = triangle_setup(clip, tri_indices, width, height, num_triangles)
+    bins, counts = bin_triangles(setup, width, height,
+                                 cfg.tile_h, cfg.tile_w, cfg.capacity)
+    bin_data = gather_bin_data(setup, bins)
+    tri_id, depth = rasterize(bin_data, bins, counts, width, height, cfg)
+    return tri_id, depth, setup
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _rasterize_jnp(bin_data, bins, counts, width, height, cfg):
+    th, tw = cfg.tile_h, cfg.tile_w
+    tiles_y, tiles_x = cfg.tiles(width, height)
+    n_tiles = tiles_y * tiles_x
+
+    # Pixel-center offsets within a tile.
+    oy = jnp.arange(th, dtype=jnp.float32)[:, None] + 0.5   # (th, 1)
+    ox = jnp.arange(tw, dtype=jnp.float32)[None, :] + 0.5   # (1, tw)
+
+    def raster_tile(tile_idx, data, ids):
+        ty = (tile_idx // tiles_x).astype(jnp.float32) * th
+        tx = (tile_idx % tiles_x).astype(jnp.float32) * tw
+        py = oy + ty                                         # (th, 1)
+        px = ox + tx                                         # (1, tw)
+
+        def body(carry, xs):
+            zbuf, idbuf = carry
+            d, tid = xs
+            b0 = d[0] * px + d[1] * py + d[2]
+            b1 = d[3] * px + d[4] * py + d[5]
+            b2 = d[6] * px + d[7] * py + d[8]
+            z = d[9] * px + d[10] * py + d[11]
+            cover = ((b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+                     & (z >= 0.0) & (z < zbuf) & (tid >= 0))
+            zbuf = jnp.where(cover, z, zbuf)
+            idbuf = jnp.where(cover, tid, idbuf)
+            return (zbuf, idbuf), None
+
+        init = (jnp.full((th, tw), 1.0, jnp.float32),
+                jnp.full((th, tw), -1, jnp.int32))
+        (zbuf, idbuf), _ = jax.lax.scan(body, init, (data, ids))
+        return idbuf, zbuf
+
+    idt, zt = jax.vmap(raster_tile)(
+        jnp.arange(n_tiles, dtype=jnp.int32), bin_data, bins)
+
+    tri_id = (idt.reshape(tiles_y, tiles_x, th, tw)
+              .transpose(0, 2, 1, 3).reshape(tiles_y * th, tiles_x * tw))
+    depth = (zt.reshape(tiles_y, tiles_x, th, tw)
+             .transpose(0, 2, 1, 3).reshape(tiles_y * th, tiles_x * tw))
+    return tri_id[:height, :width], depth[:height, :width]
