@@ -1,0 +1,118 @@
+"""Fragment shading math — jnp ports of cube.frag and gltf.frag's lighting.
+
+Pure element-wise VPU work over (H, W, ...) arrays; XLA fuses the whole
+thing into the surrounding passes. Shadow/TAA/contact terms are computed by
+their own passes and fed in as the `shadow` scalar field.
+
+Parity notes:
+- viewDir = normalize(cameraPos) — the reference normalizes the camera
+  *position*, not the per-pixel view vector (cube.frag:18, gltf.frag:598).
+  Reproduced verbatim: it is visibly part of the reference look.
+- fill light dir (-0.5, 0.3, -0.8) normalized (both shaders).
+- cube: ambient 0.20, diffuse 0.65, spec pow 64 * 0.4, blue rim light
+  pow2 * 0.5 (cube.frag:16-46).
+- gltf: ambient 0.25, diffuse 0.65 * shadow, spec pow 32 * 0.3 gated on
+  useTexture, alpha from texture (gltf.frag:592-655).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.scene import FLAG_USE_TEXTURE
+from ..ops.sampling import sample_bilinear_repeat
+from .deferred import GBuffer
+
+_FILL_DIR = (-0.5, 0.3, -0.8)
+
+
+def _normalize(v, axis=-1):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), 1e-12)
+
+
+def shade_cube(gbuf: GBuffer, camera_pos: jnp.ndarray,
+               light_dir: jnp.ndarray, background: jnp.ndarray) -> jnp.ndarray:
+    """cube.frag:16-46. Returns (H, W, 4) linear RGBA."""
+    normal = _normalize(gbuf.normal)
+    light = _normalize(light_dir)
+    view = _normalize(camera_pos)
+
+    n_dot_l = jnp.sum(normal * light, axis=-1, keepdims=True)
+    diff = jnp.maximum(n_dot_l, 0.0)
+
+    fill_dir = _normalize(jnp.asarray(_FILL_DIR, jnp.float32))
+    fill_diff = jnp.maximum(
+        jnp.sum(normal * fill_dir, axis=-1, keepdims=True), 0.0) * 0.3
+
+    half_dir = _normalize(light + view)
+    spec = jnp.power(
+        jnp.maximum(jnp.sum(normal * half_dir, axis=-1, keepdims=True), 0.0),
+        64.0)
+
+    rim = 1.0 - jnp.maximum(
+        jnp.sum(normal * view, axis=-1, keepdims=True), 0.0)
+    rim = jnp.power(rim, 2.0) * 0.5
+
+    color = gbuf.color
+    result = (0.20 * color + 0.65 * diff * color + fill_diff * color
+              + 0.4 * spec + rim * jnp.asarray([0.8, 0.9, 1.0], jnp.float32))
+
+    rgb = jnp.where(gbuf.valid[..., None], result, background)
+    alpha = jnp.ones_like(rgb[..., :1])
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray, camera_pos: jnp.ndarray,
+               light_dir: jnp.ndarray, shadow: jnp.ndarray,
+               background: jnp.ndarray) -> jnp.ndarray:
+    """gltf.frag main lighting (gltf.frag:592-655), with the shadow term
+    (already TAA'd and min'd with contact shadows) supplied.
+
+    Returns (H, W, 4) linear RGBA.
+    """
+    use_texture = (gbuf.flags & FLAG_USE_TEXTURE) != 0
+    tex = sample_bilinear_repeat(texture, gbuf.uv)        # (H, W, 4)
+    tex = jnp.where(use_texture[..., None], tex, 1.0)
+
+    normal = _normalize(gbuf.normal)
+    light = _normalize(light_dir)
+    view = _normalize(camera_pos)
+
+    n_dot_l = jnp.sum(normal * light, axis=-1, keepdims=True)
+    diff = jnp.maximum(n_dot_l, 0.0)
+
+    fill_dir = _normalize(jnp.asarray(_FILL_DIR, jnp.float32))
+    fill_diff = jnp.maximum(
+        jnp.sum(normal * fill_dir, axis=-1, keepdims=True), 0.0) * 0.3
+
+    half_dir = _normalize(light + view)
+    spec = jnp.power(
+        jnp.maximum(jnp.sum(normal * half_dir, axis=-1, keepdims=True), 0.0),
+        32.0)
+
+    base_color = tex[..., :3] * gbuf.color
+    ambient = 0.25 * base_color
+    diffuse = 0.65 * diff * base_color * shadow[..., None]
+    fill = fill_diff * base_color
+    spec_factor = jnp.where(use_texture[..., None], 1.0, 0.0)
+    specular = 0.3 * spec * spec_factor
+
+    result = ambient + diffuse + fill + specular
+    rgb = jnp.where(gbuf.valid[..., None], result, background)
+    alpha = jnp.where(gbuf.valid[..., None], tex[..., 3:4], 1.0)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def cascade_debug_color(gbuf: GBuffer, c0: jnp.ndarray, c1: jnp.ndarray,
+                        ct: jnp.ndarray, shadow: jnp.ndarray,
+                        background: jnp.ndarray) -> jnp.ndarray:
+    """Cascade visualization mode (gltf.frag:621-634)."""
+    colors = jnp.asarray([[1.0, 0.2, 0.2], [0.2, 1.0, 0.2],
+                          [0.2, 0.4, 1.0], [1.0, 1.0, 0.2]], jnp.float32)
+    base = colors[c0]
+    blended = jnp.where((ct > 0.0)[..., None],
+                        base * (1.0 - ct[..., None]) + colors[c1] * ct[..., None],
+                        base)
+    rgb = blended * (0.35 + 0.65 * shadow[..., None])
+    rgb = jnp.where(gbuf.valid[..., None], rgb, background)
+    return jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)

@@ -1,0 +1,87 @@
+"""Sampler parity: bilinear/nearest filtering, addressing, shadow compare."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from funky_tpu.ops import sampling
+
+
+def test_bilinear_texel_centers():
+    tex = jnp.asarray(np.arange(16, dtype=np.float32).reshape(4, 4, 1))
+    # uv at texel center (i+0.5)/4 returns the texel exactly.
+    for iy in range(4):
+        for ix in range(4):
+            uv = jnp.asarray([(ix + 0.5) / 4, (iy + 0.5) / 4])
+            v = sampling.sample_bilinear_repeat(tex, uv)
+            assert float(v[0]) == iy * 4 + ix
+
+
+def test_bilinear_midpoint_average():
+    tex = jnp.asarray(np.array([[0.0, 1.0], [2.0, 3.0]])[..., None])
+    v = sampling.sample_bilinear_repeat(tex, jnp.asarray([0.5, 0.5]))
+    assert abs(float(v[0]) - 1.5) < 1e-6
+
+
+def test_repeat_wrap():
+    tex = jnp.asarray(np.array([[0.0, 10.0]])[..., None])  # (1, 2)
+    # uv.x = 1.25 == 0.25 by REPEAT
+    a = sampling.sample_bilinear_repeat(tex, jnp.asarray([1.25, 0.5]))
+    b = sampling.sample_bilinear_repeat(tex, jnp.asarray([0.25, 0.5]))
+    assert abs(float(a[0]) - float(b[0])) < 1e-6
+
+
+def test_clamp_to_edge():
+    tex = jnp.asarray(np.array([[1.0, 2.0], [3.0, 4.0]]))
+    v = sampling.sample_bilinear_edge(tex, jnp.asarray([-1.0, -1.0]))
+    assert abs(float(v) - 1.0) < 1e-6
+    v = sampling.sample_bilinear_edge(tex, jnp.asarray([2.0, 2.0]))
+    assert abs(float(v) - 4.0) < 1e-6
+
+
+def test_border_outside_is_border():
+    tex = jnp.zeros((4, 4))
+    v = sampling.sample_bilinear_border(tex, jnp.asarray([-0.5, 0.5]),
+                                        border=1.0)
+    assert abs(float(v) - 1.0) < 1e-6
+
+
+def test_shadow_compare_semantics():
+    # stored depth 0.5 everywhere: lit iff ref <= 0.5 (LESS_OR_EQUAL).
+    sm = jnp.full((8, 8), 0.5)
+    uv = jnp.asarray([0.5, 0.5])
+    lit = sampling.sample_shadow_compare(sm, uv, jnp.asarray(0.4))
+    shadowed = sampling.sample_shadow_compare(sm, uv, jnp.asarray(0.6))
+    assert float(lit) == 1.0
+    assert float(shadowed) == 0.0
+    eq = sampling.sample_shadow_compare(sm, uv, jnp.asarray(0.5))
+    assert float(eq) == 1.0
+
+
+def test_shadow_compare_bilinear_blend():
+    # Half the 2x2 neighborhood passes -> fractional visibility.
+    sm = jnp.asarray(np.array([[0.0, 1.0], [0.0, 1.0]], np.float32))
+    # sample exactly between the two columns at row center
+    uv = jnp.asarray([0.5, 0.5])
+    v = sampling.sample_shadow_compare(sm, uv, jnp.asarray(0.5))
+    assert abs(float(v) - 0.5) < 1e-6
+
+
+def test_shadow_border_is_lit():
+    sm = jnp.zeros((4, 4))  # everything occluded inside
+    v = sampling.sample_shadow_compare(sm, jnp.asarray([-1.0, 0.5]),
+                                       jnp.asarray(0.9))
+    assert float(v) == 1.0  # border white => ref 0.9 <= 1.0 => lit
+
+
+def test_nearest_edge():
+    tex = jnp.asarray(np.array([[1.0, 2.0], [3.0, 4.0]]))
+    assert float(sampling.sample_nearest_edge(tex, jnp.asarray([0.2, 0.2]))) == 1.0
+    assert float(sampling.sample_nearest_edge(tex, jnp.asarray([0.9, 0.2]))) == 2.0
+    assert float(sampling.sample_nearest_edge(tex, jnp.asarray([5.0, 5.0]))) == 4.0
+
+
+def test_batched_shapes():
+    tex = jnp.ones((16, 16, 4))
+    uv = jnp.zeros((8, 8, 2)) + 0.5
+    out = sampling.sample_bilinear_repeat(tex, uv)
+    assert out.shape == (8, 8, 4)
