@@ -110,6 +110,218 @@ def render_cube_frame(scene: DeviceScene, params: CubeParams,
 
 
 # ---------------------------------------------------------------------------
+# glTF scene frame (the flagship path): shadow cascades -> main visibility
+# pass -> deferred PCF/PCSS shading -> shadow TAA -> contact shadows.
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple  # noqa: E402
+
+from .passes import contact, shadow, shadow_filter, taa, uniforms  # noqa: E402
+
+
+@dataclasses.dataclass(frozen=True)
+class GltfFrameFlags:
+    """Static pipeline switches — the analogue of the reference's shader
+    branches on ubo.debugFlags (gltf.frag:509-518, 540, 621). Static =
+    each combination compiles once; toggling re-jits (cached), like binding
+    a different pipeline."""
+    use_pcss: bool = True            # ShadowSettings.use_pcss default
+    use_shadow_taa: bool = True
+    debug_cascades: bool = False
+    enable_shadows: bool = True
+    enable_contact_shadows: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class GltfConfig:
+    """Static glTF frame configuration."""
+    width: int = 1920
+    height: int = 1080
+    shadow_map_size: int = uniforms.SHADOW_MAP_SIZE
+    raster: RasterConfig = dataclasses.field(
+        default_factory=lambda: RasterConfig(capacity=512))
+    shadow_raster: RasterConfig = dataclasses.field(
+        default_factory=lambda: RasterConfig(tile_h=128, tile_w=128,
+                                             capacity=512))
+    flags: GltfFrameFlags = dataclasses.field(default_factory=GltfFrameFlags)
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+
+@dataclasses.dataclass(frozen=True)
+class GltfParams:
+    """Traced per-frame inputs (update_uniform_buffer's arguments,
+    gltf_renderer.rs:1784-1797)."""
+    camera_pos: jnp.ndarray     # (3,)
+    camera_yaw: jnp.ndarray     # scalar
+    camera_pitch: jnp.ndarray
+    camera_fov: jnp.ndarray
+    duck_position: jnp.ndarray  # (3,)
+    duck_scale: jnp.ndarray
+    shadow_softness: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    GltfParams,
+    lambda p: ((p.camera_pos, p.camera_yaw, p.camera_pitch, p.camera_fov,
+                p.duck_position, p.duck_scale, p.shadow_softness), None),
+    lambda _, c: GltfParams(*c))
+
+
+def default_gltf_params(gltf_min_y: float = 0.0,
+                        gltf_scale: float = 0.01,
+                        shadow_softness: float = 2.5) -> GltfParams:
+    """Reference defaults: camera main.rs:119-127, duck placement
+    main.rs:695-696, softness main.rs:169."""
+    import math
+
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    position = jnp.asarray([0.0, 2.5, 10.0], jnp.float32)
+    target = jnp.asarray([0.0, 0.6, 0.0], jnp.float32)
+    d = target - position
+    dn = d / jnp.linalg.norm(d)
+    yaw = math.atan2(float(dn[2]), float(dn[0]))
+    pitch = math.asin(float(dn[1]))
+    duck_y = -gltf_min_y * gltf_scale + 0.001
+    return GltfParams(
+        camera_pos=position,
+        camera_yaw=f32(yaw),
+        camera_pitch=f32(pitch),
+        camera_fov=f32(math.radians(45.0)),
+        duck_position=f32([0.0, duck_y, 0.0]),
+        duck_scale=f32(gltf_scale),
+        shadow_softness=f32(shadow_softness),
+    )
+
+
+class FrameState(NamedTuple):
+    """Carried temporal state — the pure replacement for the reference's
+    persistent GPU images (TAA history ping-pong, stale depth binding) and
+    prev_view_proj tracking (gltf_renderer.rs:1988-1990)."""
+    shadow_history: jnp.ndarray  # (H, W, 2): shadow, ndcDepth
+    prev_depth: jnp.ndarray      # (H, W) last frame's depth buffer
+    prev_view_proj: jnp.ndarray  # (4, 4)
+    has_prev: jnp.ndarray        # () bool
+    frame_index: jnp.ndarray     # () int32
+
+
+def init_frame_state(cfg: GltfConfig) -> FrameState:
+    return FrameState(
+        shadow_history=taa.init_history(cfg.height, cfg.width),
+        prev_depth=jnp.ones((cfg.height, cfg.width), jnp.float32),
+        prev_view_proj=jnp.eye(4, dtype=jnp.float32),
+        has_prev=jnp.zeros((), bool),
+        frame_index=jnp.zeros((), jnp.int32),
+    )
+
+
+def render_gltf_frame(scene: DeviceScene, params: GltfParams,
+                      state: FrameState, cfg: GltfConfig):
+    """One full frame (render loop of gltf_renderer.rs:1995-2387 as a pure
+    function). Returns (linear RGBA (H, W, 4), new FrameState)."""
+    flags = cfg.flags
+    uni = uniforms.compute_uniforms(
+        camera_pos=params.camera_pos,
+        camera_yaw=params.camera_yaw,
+        camera_pitch=params.camera_pitch,
+        camera_fov=params.camera_fov,
+        aspect_ratio=cfg.aspect,
+        duck_position=params.duck_position,
+        duck_scale=params.duck_scale,
+        prev_view_proj=state.prev_view_proj,
+        has_prev=state.has_prev,
+        frame_index=state.frame_index,
+        debug_cascades=flags.debug_cascades,
+        use_pcss=flags.use_pcss,
+        use_shadow_taa=flags.use_shadow_taa,
+        shadow_softness=params.shadow_softness,
+        shadow_map_size=cfg.shadow_map_size,
+    )
+
+    # -- vertex stage (shared by shadow + main passes) --
+    world_v, clip, normals_v = geometry.transform_vertices(
+        scene, uni.models, uni.view_proj)
+    blocks = geometry.build_shade_blocks(scene, world_v, clip, normals_v)
+
+    # -- shadow cascade depth passes --
+    if flags.enable_shadows:
+        shadow_maps = shadow.render_shadow_maps(
+            world_v, scene.tri_indices, scene.num_triangles,
+            uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
+    else:
+        shadow_maps = None
+
+    # -- main visibility pass + deferred attributes --
+    tri_id, depth, setup = raster_scene(
+        clip, scene.tri_indices, cfg.width, cfg.height,
+        scene.num_triangles, cfg.raster)
+    gbuf = deferred.interpolate(tri_id, depth, setup.data, blocks,
+                                scene.tri_flags)
+
+    normal = gbuf.normal / jnp.maximum(
+        jnp.linalg.norm(gbuf.normal, axis=-1, keepdims=True), 1e-12)
+    n_dot_l = jnp.maximum(
+        jnp.sum(normal * uni.light_dir, axis=-1), 0.0)    # `diff`
+
+    # fragViewDepth = -viewPos.z (gltf.vert:37-38)
+    view_z = (gbuf.world @ uni.view[2, :3].T) + uni.view[2, 3]
+    view_depth = -view_z
+
+    h, w = cfg.height, cfg.width
+    frag = jnp.stack([
+        jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5,
+                         (h, w)),
+        jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5,
+                         (h, w)),
+    ], axis=-1)
+
+    # -- shadow filtering + TAA + contact shadows --
+    if flags.enable_shadows:
+        sres, c0, c1, ct = shadow_filter.cascaded_shadow(
+            uni, shadow_maps, gbuf.world, normal, n_dot_l, view_depth,
+            frag, flags.use_pcss)
+    else:
+        one = jnp.ones((h, w), jnp.float32)
+        sres = shadow_filter.ShadowResult(one, one, one, jnp.zeros_like(one))
+        c0 = jnp.zeros((h, w), jnp.int32)
+        c1 = c0
+        ct = jnp.zeros((h, w), jnp.float32)
+
+    shadow_term, new_history = taa.apply_shadow_taa(
+        sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa)
+
+    if flags.enable_contact_shadows:
+        contact_term = contact.compute_contact_shadow(
+            gbuf.world, normal, uni, state.prev_depth)
+        shadow_term = jnp.minimum(shadow_term, contact_term)  # gltf.frag:619
+
+    # History only updates where fragments actually shaded (imageStore
+    # under the raster, gltf.frag:588).
+    new_history = jnp.where(gbuf.valid[..., None], new_history,
+                            state.shadow_history)
+
+    # -- final shading --
+    background = jnp.asarray(GLTF_CLEAR, jnp.float32)
+    if flags.debug_cascades:
+        rgba = shading.cascade_debug_color(gbuf, c0, c1, ct, shadow_term,
+                                           background)
+    else:
+        rgba = shading.shade_gltf(gbuf, scene.texture, uni.camera_pos,
+                                  uni.light_dir, shadow_term, background)
+
+    new_state = FrameState(
+        shadow_history=new_history,
+        prev_depth=depth,
+        prev_view_proj=uni.view_proj,
+        has_prev=jnp.ones((), bool),
+        frame_index=state.frame_index + 1,
+    )
+    return rgba, new_state
+
+
+# ---------------------------------------------------------------------------
 # Compile cache: one jitted frame fn per (static config) — the analogue of
 # swapchain-recreation re-jitting at a new resolution.
 # ---------------------------------------------------------------------------
@@ -122,4 +334,15 @@ def compiled_cube_frame(cfg: FrameConfig):
     if key not in _CACHE:
         _CACHE[key] = jax.jit(
             functools.partial(render_cube_frame, cfg=cfg))
+    return _CACHE[key]
+
+
+def compiled_gltf_frame(cfg: GltfConfig):
+    """Jitted (scene, params, state) -> (rgba, new_state). Donates the
+    carried state so TAA history / prev depth update in place in HBM."""
+    key = ("gltf", cfg)
+    if key not in _CACHE:
+        _CACHE[key] = jax.jit(
+            functools.partial(render_gltf_frame, cfg=cfg),
+            donate_argnums=(2,))
     return _CACHE[key]

@@ -237,6 +237,109 @@ def transform_vector(m, v):
     return v @ m[:3, :3].T
 
 
+def rigid_inverse(view):
+    """Exact inverse of a rigid transform (rotation+translation), e.g. a
+    look_at view matrix: inv = [R^T | -R^T t]."""
+    r = view[:3, :3]
+    t = view[:3, 3]
+    inv = jnp.eye(4, dtype=jnp.float32)
+    inv = inv.at[:3, :3].set(r.T)
+    inv = inv.at[:3, 3].set(-(r.T @ t))
+    return inv
+
+
+def perspective_inverse(proj):
+    """Closed-form inverse of a (possibly Y-flipped) perspective_rh matrix
+    [[a,0,0,0],[0,b,0,0],[0,0,c,d],[0,0,-1,0]].
+
+    Inverting the *composite* view-proj numerically (as the reference does,
+    gltf_renderer.rs:1842) catastrophically cancels the far-plane corners'
+    w to exactly 0 in f32; splitting the inverse keeps w = 1/far exact.
+    """
+    a = proj[0, 0]
+    b = proj[1, 1]
+    c = proj[2, 2]
+    d = proj[2, 3]
+    zero = jnp.zeros((), jnp.float32)
+    one = jnp.ones((), jnp.float32)
+    return jnp.stack([
+        jnp.stack([1.0 / a, zero, zero, zero]),
+        jnp.stack([zero, 1.0 / b, zero, zero]),
+        jnp.stack([zero, zero, zero, -one]),
+        jnp.stack([zero, zero, 1.0 / d, c / d]),
+    ])
+
+
+def view_proj_inverse(view, proj):
+    """Numerically robust inverse of proj @ view for frustum-corner
+    reconstruction."""
+    return rigid_inverse(view) @ perspective_inverse(proj)
+
+
+def mat4_inverse(m):
+    """Analytic 4x4 inverse via cofactor expansion (glam `Mat4::inverse`
+    uses the same adjugate construction). Needed instead of
+    jnp.linalg.inv: LU in f32 collapses the tiny w of inverse-projected
+    far-plane corners to exactly 0 (inf corners); the adjugate keeps the
+    reference's numerical behavior (used by the cascade fit,
+    gltf_renderer.rs:1842)."""
+    m = jnp.asarray(m, jnp.float32)
+    a = m[0, 0]; b = m[0, 1]; c = m[0, 2]; d = m[0, 3]
+    e = m[1, 0]; f = m[1, 1]; g = m[1, 2]; h = m[1, 3]
+    i = m[2, 0]; j = m[2, 1]; k = m[2, 2]; l = m[2, 3]
+    mm = m[3, 0]; n = m[3, 1]; o = m[3, 2]; p = m[3, 3]
+
+    kp_lo = k * p - l * o
+    jp_ln = j * p - l * n
+    jo_kn = j * o - k * n
+    ip_lm = i * p - l * mm
+    io_km = i * o - k * mm
+    in_jm = i * n - j * mm
+    gp_ho = g * p - h * o
+    fp_hn = f * p - h * n
+    fo_gn = f * o - g * n
+    ep_hm = e * p - h * mm
+    eo_gm = e * o - g * mm
+    en_fm = e * n - f * mm
+    gl_hk = g * l - h * k
+    fl_hj = f * l - h * j
+    fk_gj = f * k - g * j
+    el_hi = e * l - h * i
+    ek_gi = e * k - g * i
+    ej_fi = e * j - f * i
+
+    c00 = f * kp_lo - g * jp_ln + h * jo_kn
+    c01 = -(e * kp_lo - g * ip_lm + h * io_km)
+    c02 = e * jp_ln - f * ip_lm + h * in_jm
+    c03 = -(e * jo_kn - f * io_km + g * in_jm)
+
+    det = a * c00 + b * c01 + c * c02 + d * c03
+    inv_det = 1.0 / det
+
+    c10 = -(b * kp_lo - c * jp_ln + d * jo_kn)
+    c11 = a * kp_lo - c * ip_lm + d * io_km
+    c12 = -(a * jp_ln - b * ip_lm + d * in_jm)
+    c13 = a * jo_kn - b * io_km + c * in_jm
+
+    c20 = b * gp_ho - c * fp_hn + d * fo_gn
+    c21 = -(a * gp_ho - c * ep_hm + d * eo_gm)
+    c22 = a * fp_hn - b * ep_hm + d * en_fm
+    c23 = -(a * fo_gn - b * eo_gm + c * en_fm)
+
+    c30 = -(b * gl_hk - c * fl_hj + d * fk_gj)
+    c31 = a * gl_hk - c * el_hi + d * ek_gi
+    c32 = -(a * fl_hj - b * el_hi + d * ej_fi)
+    c33 = a * fk_gj - b * ek_gi + c * ej_fi
+
+    adj = jnp.stack([
+        jnp.stack([c00, c10, c20, c30]),
+        jnp.stack([c01, c11, c21, c31]),
+        jnp.stack([c02, c12, c22, c32]),
+        jnp.stack([c03, c13, c23, c33]),
+    ])
+    return adj * inv_det
+
+
 def camera_front(yaw, pitch):
     """Camera forward vector from yaw/pitch — the glTF renderer's convention
     (gltf_renderer.rs:1799-1803): x=cos(yaw)cos(pitch), y=sin(pitch),

@@ -1,0 +1,256 @@
+"""Shadow filtering: cascade select/blend + PCF + PCSS (gltf.frag:45-527).
+
+Fully vectorized over the framebuffer: every pixel evaluates its cascade
+pair (c0, c1) with per-pixel gathered light matrices; the 16-tap Vogel-disk
+loops are unrolled statically (the tap count is a shader-constant in the
+reference too). The PCF fast path (3x3 when radius <= 1.25,
+gltf.frag:474-489) is selected by a frame-uniform lax.cond, so only one
+path executes per frame.
+
+Returns the reference's ShadowResult moments (v, m1, m2, kernel radius)
+which feed the shadow TAA variance clamp (gltf.frag:38-43, 569-577).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import (sample_bilinear_border_array,
+                            sample_shadow_compare_array)
+from .uniforms import FrameUniforms
+
+BLOCKER_SAMPLES = 16   # gltf.frag:373
+PCF_SAMPLES = 16       # gltf.frag:436, 494
+GOLDEN_ANGLE = 2.4     # gltf.frag:108
+
+
+class ShadowResult(NamedTuple):
+    v: jnp.ndarray                    # (H, W)
+    m1: jnp.ndarray
+    m2: jnp.ndarray
+    kernel_radius_texels: jnp.ndarray
+
+
+def interleaved_gradient_noise(screen_pos: jnp.ndarray) -> jnp.ndarray:
+    """IGN (gltf.frag:84-87). screen_pos: (..., 2)."""
+    magic = jnp.asarray([0.06711056, 0.00583715], jnp.float32)
+    d = screen_pos[..., 0] * magic[0] + screen_pos[..., 1] * magic[1]
+    return jnp.mod(52.9829189 * jnp.mod(d, 1.0), 1.0)
+
+
+def shadow_frame_phi(screen_pos: jnp.ndarray, frame: jnp.ndarray,
+                     taa_enabled: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel rotation angle; animated only when shadow TAA is on
+    (gltf.frag:89-98)."""
+    offset = jnp.stack([frame * 13.37, frame * 17.17])
+    p = jnp.where(taa_enabled > 0.5, screen_pos + offset, screen_pos)
+    return interleaved_gradient_noise(p) * 6.2831853
+
+
+def vogel_disk(i: int, count: int, phi: jnp.ndarray):
+    """Tap i of a Vogel disk rotated by per-pixel phi (gltf.frag:107-112).
+    Returns (dx, dy) arrays shaped like phi."""
+    r = jnp.sqrt(jnp.float32(i) + 0.5) / jnp.sqrt(jnp.float32(count))
+    theta = jnp.float32(i) * GOLDEN_ANGLE + phi
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def select_cascade_blend(view_depth: jnp.ndarray, splits: jnp.ndarray):
+    """Cascade pair + blend factor (gltf.frag:52-80). Vectorized over
+    pixels; the if-chain becomes priority selection on band masks."""
+    s0, s1, s2 = splits[0], splits[1], splits[2]
+    f0 = jnp.maximum(0.10 * s0, 0.5)
+    f1 = jnp.maximum(0.10 * s1, 0.5)
+    f2 = jnp.maximum(0.10 * s2, 0.5)
+
+    def smoothstep(e0, e1, x):
+        t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    in0 = (view_depth > s0 - f0) & (view_depth < s0 + f0)
+    in1 = (view_depth > s1 - f1) & (view_depth < s1 + f1)
+    in2 = (view_depth > s2 - f2) & (view_depth < s2 + f2)
+
+    # selectCascade fallback (gltf.frag:45-50)
+    base = (jnp.int32(0)
+            + (view_depth >= s0).astype(jnp.int32)
+            + (view_depth >= s1).astype(jnp.int32)
+            + (view_depth >= s2).astype(jnp.int32))
+
+    c0 = jnp.where(in0, 0, jnp.where(in1, 1, jnp.where(in2, 2, base)))
+    c1 = jnp.where(in0, 1, jnp.where(in1, 2, jnp.where(in2, 3, base)))
+    t = jnp.where(in0, smoothstep(s0 - f0, s0 + f0, view_depth),
+                  jnp.where(in1, smoothstep(s1 - f1, s1 + f1, view_depth),
+                            jnp.where(in2, smoothstep(s2 - f2, s2 + f2,
+                                                      view_depth), 0.0)))
+    return c0, c1, t
+
+
+def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
+                   world: jnp.ndarray, normal: jnp.ndarray,
+                   n_dot_l: jnp.ndarray):
+    """Normal-offset bias + light-space projection shared by PCF and PCSS
+    (gltf.frag:391-410 == 453-469)."""
+    normal_bias = 0.02 * (1.0 - n_dot_l)
+    biased = world + normal * normal_bias[..., None]
+
+    lvp = uni.light_view_proj[cascade]                    # (H, W, 4, 4)
+    ones = jnp.ones(biased.shape[:-1] + (1,), jnp.float32)
+    hom = jnp.concatenate([biased, ones], axis=-1)
+    clip = jnp.einsum("...ij,...j->...i", lvp, hom)
+    proj = clip[..., :3] / clip[..., 3:4]
+
+    uv = proj[..., :2] * 0.5 + 0.5
+    receiver = proj[..., 2]
+    in_bounds = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
+                 & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
+
+    base_bias = 0.0008
+    slope_bias = 0.0025 * (1.0 - n_dot_l)
+    bias = base_bias + slope_bias
+    return uv, receiver, bias, in_bounds
+
+
+def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
+                cascade: jnp.ndarray, world: jnp.ndarray,
+                normal: jnp.ndarray, n_dot_l: jnp.ndarray,
+                phi: jnp.ndarray) -> ShadowResult:
+    """PCSS with contact hardening (gltf.frag:366-450)."""
+    uv, receiver, bias, in_bounds = _light_project(
+        uni, cascade, world, normal, n_dot_l)
+    receiver = receiver - bias                            # gltf.frag:410
+    texel = uni.shadow_map_size[2]
+
+    light_size_texels = uni.shadow_bias[0] * 2.0          # gltf.frag:415
+
+    # Step 1: blocker search (gltf.frag:366-388).
+    blocker_sum = jnp.zeros_like(receiver)
+    blocker_cnt = jnp.zeros_like(receiver)
+    for i in range(BLOCKER_SAMPLES):
+        dx, dy = vogel_disk(i, BLOCKER_SAMPLES, phi)
+        off = jnp.stack([dx, dy], axis=-1) * (light_size_texels * texel)
+        d = sample_bilinear_border_array(shadow_maps, cascade, uv + off,
+                                         border=1.0)
+        hit = d < receiver
+        blocker_sum = blocker_sum + jnp.where(hit, d, 0.0)
+        blocker_cnt = blocker_cnt + hit.astype(jnp.float32)
+
+    has_blockers = blocker_cnt > 0.0
+    blocker_depth = blocker_sum / jnp.maximum(blocker_cnt, 1.0)
+
+    # Step 2: penumbra estimate with contact hardening (gltf.frag:425-431).
+    penumbra_ratio = (receiver - blocker_depth) / jnp.maximum(
+        blocker_depth, 1e-8)
+    penumbra = jnp.clip(penumbra_ratio * light_size_texels, 0.5,
+                        light_size_texels * 2.0)
+
+    # Step 3: PCF with penumbra-sized kernel (gltf.frag:433-449).
+    s_sum = jnp.zeros_like(receiver)
+    s_sum2 = jnp.zeros_like(receiver)
+    for i in range(PCF_SAMPLES):
+        dx, dy = vogel_disk(i, PCF_SAMPLES, phi)
+        off = jnp.stack([dx, dy], axis=-1) * (penumbra * texel)[..., None]
+        s = sample_shadow_compare_array(shadow_maps, cascade, uv + off,
+                                        receiver)
+        s_sum = s_sum + s
+        s_sum2 = s_sum2 + s * s
+
+    m1 = s_sum / PCF_SAMPLES
+    m2 = s_sum2 / PCF_SAMPLES
+
+    # No blockers or out of bounds => fully lit (gltf.frag:402-403,420-423).
+    lit = ~has_blockers | ~in_bounds
+    one = jnp.ones_like(m1)
+    return ShadowResult(
+        v=jnp.where(lit, one, m1),
+        m1=jnp.where(lit, one, m1),
+        m2=jnp.where(lit, one, m2),
+        kernel_radius_texels=jnp.where(lit, 0.0, penumbra),
+    )
+
+
+def shadow_pcf(uni: FrameUniforms, shadow_maps: jnp.ndarray,
+               cascade: jnp.ndarray, world: jnp.ndarray,
+               normal: jnp.ndarray, n_dot_l: jnp.ndarray,
+               phi: jnp.ndarray) -> ShadowResult:
+    """Fixed-radius PCF (gltf.frag:453-507)."""
+    uv, depth_ref, bias, in_bounds = _light_project(
+        uni, cascade, world, normal, n_dot_l)
+    texel = uni.shadow_map_size[2]
+    radius = jnp.maximum(uni.shadow_bias[0], 0.5)
+    ref = depth_ref - bias
+
+    def taps_3x3(_):
+        s_sum = jnp.zeros_like(ref)
+        s_sum2 = jnp.zeros_like(ref)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                off = jnp.asarray([dx, dy], jnp.float32) * texel
+                s = sample_shadow_compare_array(shadow_maps, cascade,
+                                                uv + off, ref)
+                s_sum = s_sum + s
+                s_sum2 = s_sum2 + s * s
+        return s_sum / 9.0, s_sum2 / 9.0, jnp.ones_like(ref)
+
+    def taps_vogel(_):
+        s_sum = jnp.zeros_like(ref)
+        s_sum2 = jnp.zeros_like(ref)
+        for i in range(PCF_SAMPLES):
+            dx, dy = vogel_disk(i, PCF_SAMPLES, phi)
+            off = jnp.stack([dx, dy], axis=-1) * (radius * texel)
+            s = sample_shadow_compare_array(shadow_maps, cascade,
+                                            uv + off, ref)
+            s_sum = s_sum + s
+            s_sum2 = s_sum2 + s * s
+        return (s_sum / PCF_SAMPLES, s_sum2 / PCF_SAMPLES,
+                jnp.full_like(ref, radius))
+
+    # Frame-uniform branch (radius is a per-frame scalar): only one path
+    # executes (gltf.frag:474 "Cheap 3x3 for hard shadows").
+    m1, m2, kernel = jax.lax.cond(radius <= 1.25, taps_3x3, taps_vogel,
+                                  operand=None)
+
+    one = jnp.ones_like(m1)
+    return ShadowResult(
+        v=jnp.where(in_bounds, m1, one),
+        m1=jnp.where(in_bounds, m1, one),
+        m2=jnp.where(in_bounds, m2, one),
+        kernel_radius_texels=jnp.where(in_bounds, kernel, 0.0),
+    )
+
+
+def mix_shadow(a: ShadowResult, b: ShadowResult,
+               t: jnp.ndarray) -> ShadowResult:
+    """gltf.frag:520-527."""
+    return ShadowResult(
+        v=a.v + (b.v - a.v) * t,
+        m1=a.m1 + (b.m1 - a.m1) * t,
+        m2=a.m2 + (b.m2 - a.m2) * t,
+        kernel_radius_texels=(a.kernel_radius_texels
+                              + (b.kernel_radius_texels
+                                 - a.kernel_radius_texels) * t),
+    )
+
+
+def cascaded_shadow(uni: FrameUniforms, shadow_maps: jnp.ndarray,
+                    world: jnp.ndarray, normal: jnp.ndarray,
+                    n_dot_l: jnp.ndarray, view_depth: jnp.ndarray,
+                    screen_pos: jnp.ndarray, use_pcss: bool):
+    """Main shadow evaluation (gltf.frag:604-613): select cascade pair,
+    filter both, blend. `use_pcss` is static (frame-level recompile on
+    toggle, like a pipeline switch).
+
+    Returns (ShadowResult, c0, c1, t) — the extras feed debug coloring.
+    """
+    c0, c1, t = select_cascade_blend(view_depth, uni.cascade_splits)
+    phi = shadow_frame_phi(screen_pos, uni.debug_flags[3], uni.debug_flags[2])
+
+    fn = shadow_pcss if use_pcss else shadow_pcf
+    s0 = fn(uni, shadow_maps, c0, world, normal, n_dot_l, phi)
+    s1 = fn(uni, shadow_maps, c1, world, normal, n_dot_l, phi)
+    s = mix_shadow(s0, s1, t)
+    # Where t == 0 the reference never evaluates s1; mix(a,a,0)=a matches.
+    return s, c0, c1, t

@@ -1,0 +1,92 @@
+"""Shadow TAA: history reprojection + variance clamp (gltf.frag:529-590).
+
+The reference ping-pongs two RG16F storage images per swapchain image
+(gltf_renderer.rs:863-939) with barriers and descriptor swaps
+(2180-2249, 2344-2387). In a pure frame function the history is simply a
+carried (H, W, 2) array [shadow, ndcDepth]: read the old one, return the
+new one. The host driver threads it between frames — no barriers, no
+ping-pong bookkeeping.
+
+History sampler is NEAREST + CLAMP_TO_EDGE (gltf_renderer.rs:912-920);
+history initializes to (1.0, 1.0) = lit, far (gltf_renderer.rs:925-927).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..ops.sampling import sample_nearest_edge
+from .shadow_filter import ShadowResult
+from .uniforms import FrameUniforms
+
+
+def init_history(height: int, width: int) -> jnp.ndarray:
+    return jnp.ones((height, width, 2), jnp.float32)
+
+
+def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
+                     uni: FrameUniforms, history: jnp.ndarray,
+                     use_shadow_taa: bool
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (out_shadow (H, W), new_history (H, W, 2))."""
+    h, w = cur.v.shape
+    current = cur.v
+
+    # Current NDC depth for next frame's disocclusion test
+    # (gltf.frag:535-538).
+    ones = jnp.ones(world.shape[:-1] + (1,), jnp.float32)
+    hom = jnp.concatenate([world, ones], axis=-1)
+    cur_clip = jnp.einsum("ij,hwj->hwi", uni.view_proj, hom)
+    cur_ndc_depth = jnp.where(cur_clip[..., 3] != 0.0,
+                              cur_clip[..., 2] / cur_clip[..., 3], 1.0)
+    cur_ndc_depth = jnp.clip(cur_ndc_depth, 0.0, 1.0)
+
+    if not use_shadow_taa:
+        new_history = jnp.stack([current, cur_ndc_depth], axis=-1)
+        return current, new_history
+
+    # gl_FragCoord.xy is already the pixel center (x+0.5); the reference
+    # adds another 0.5 (gltf.frag:544) — reproduced.
+    frag_x = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    frag_y = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    current_uv = jnp.stack(
+        [jnp.broadcast_to((frag_x + 0.5) / w, (h, w)),
+         jnp.broadcast_to((frag_y + 0.5) / h, (h, w))], axis=-1)
+
+    prev_clip = jnp.einsum("ij,hwj->hwi", uni.prev_view_proj, hom)
+    w_ok = prev_clip[..., 3] > 0.0
+    prev_ndc = prev_clip[..., :3] / jnp.where(w_ok[..., None],
+                                              prev_clip[..., 3:4], 1.0)
+    prev_uv = prev_ndc[..., :2] * 0.5 + 0.5
+    in_bounds = (w_ok
+                 & (prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
+                 & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0)
+                 & (prev_ndc[..., 2] >= 0.0) & (prev_ndc[..., 2] <= 1.0))
+
+    hist = sample_nearest_edge(history, prev_uv)          # (H, W, 2)
+    history_shadow = hist[..., 0]
+    history_depth = hist[..., 1]
+
+    # Disocclusion rejection (gltf.frag:557-567).
+    motion = jnp.linalg.norm(prev_uv - current_uv, axis=-1)
+    delta = jnp.abs(history_shadow - current)
+    depth_delta = jnp.abs(history_depth - prev_ndc[..., 2])
+    reject = (motion > 0.02) | (depth_delta > 0.02) | (delta > 0.35)
+
+    # Variance clamp (gltf.frag:569-578).
+    variance = jnp.maximum(0.0, cur.m2 - cur.m1 * cur.m1)
+    stdev = jnp.sqrt(variance)
+    softness = jnp.clip(cur.kernel_radius_texels / 8.0, 0.0, 1.0)
+    sigma = 2.5 + (0.9 - 2.5) * softness                  # mix(2.5,0.9,s)
+    lo = cur.m1 - sigma * stdev
+    hi = cur.m1 + sigma * stdev
+    history_clamped = jnp.clip(history_shadow, lo, hi)
+
+    history_weight = 0.55 + (0.85 - 0.55) * softness      # gltf.frag:582
+    blended = current + (history_clamped - current) * history_weight
+
+    out = jnp.where(in_bounds & ~reject, blended, current)
+    new_history = jnp.stack([out, cur_ndc_depth], axis=-1)
+    return out, new_history

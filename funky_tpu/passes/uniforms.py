@@ -59,12 +59,13 @@ def cascade_splits() -> jnp.ndarray:
 
 
 def fit_cascades(view: jnp.ndarray, proj: jnp.ndarray,
-                 splits: jnp.ndarray) -> jnp.ndarray:
+                 splits: jnp.ndarray,
+                 shadow_map_size: int = SHADOW_MAP_SIZE) -> jnp.ndarray:
     """Fit a stabilized ortho light frustum per cascade.
 
     Port of gltf_renderer.rs:1842-1948. Returns (4, 4, 4) lightViewProj.
     """
-    inv_view_proj = jnp.linalg.inv(proj @ view)
+    inv_view_proj = m3.view_proj_inverse(view, proj)
 
     ndc = jnp.asarray([
         [-1.0, -1.0, 0.0], [1.0, -1.0, 0.0], [1.0, 1.0, 0.0], [-1.0, 1.0, 0.0],
@@ -118,8 +119,8 @@ def fit_cascades(view: jnp.ndarray, proj: jnp.ndarray,
         # Texel snapping (gltf_renderer.rs:1914-1936).
         width = jnp.maximum(right - left, 0.001)
         height = jnp.maximum(top - bottom, 0.001)
-        texel_x = width / SHADOW_MAP_SIZE
-        texel_y = height / SHADOW_MAP_SIZE
+        texel_x = width / shadow_map_size
+        texel_y = height / shadow_map_size
         cx = 0.5 * (left + right)
         cy = 0.5 * (bottom + top)
         dx = jnp.round(cx / texel_x) * texel_x - cx
@@ -145,7 +146,8 @@ def compute_uniforms(camera_pos, camera_yaw, camera_pitch, camera_fov,
                      aspect_ratio, duck_position, duck_scale,
                      prev_view_proj, has_prev, frame_index,
                      debug_cascades, use_pcss, use_shadow_taa,
-                     shadow_softness) -> FrameUniforms:
+                     shadow_softness,
+                     shadow_map_size: int = SHADOW_MAP_SIZE) -> FrameUniforms:
     """Full UBO computation (gltf_renderer.rs:1784-1993).
 
     All inputs traced (except nothing — flags are traced f32/bool too, so
@@ -162,7 +164,7 @@ def compute_uniforms(camera_pos, camera_yaw, camera_pitch, camera_fov,
     prev_vp = jnp.where(has_prev, prev_view_proj, view_proj)
 
     splits = cascade_splits()
-    light_vp = fit_cascades(view, proj, splits)
+    light_vp = fit_cascades(view, proj, splits, shadow_map_size)
 
     # Per-object models: ground identity (gltf_renderer.rs:1806), duck =
     # scale * rotY(pi) * translate (gltf_renderer.rs:1809-1811).
@@ -171,7 +173,7 @@ def compute_uniforms(camera_pos, camera_yaw, camera_pitch, camera_fov,
         duck_scale, duck_rot, duck_position)
     models = jnp.stack([jnp.eye(4, dtype=jnp.float32), duck_model])
 
-    s = float(SHADOW_MAP_SIZE)
+    s = float(shadow_map_size)
     frame_f = jnp.asarray(frame_index, jnp.float32) % 1024.0
 
     return FrameUniforms(
