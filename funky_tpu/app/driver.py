@@ -1,0 +1,211 @@
+"""Headless frame driver — the app shell (main.rs:221-913) re-imagined.
+
+The reference couples winit events, Bevy ECS, Vulkan sync (fences,
+frames-in-flight, swapchain present) into App::render_frame. Here:
+
+- The "swapchain" is framebuffer readback: the driver dispatches jitted
+  frames asynchronously (JAX enqueues; the host never waits — the natural
+  equivalent of MAX_FRAMES_IN_FLIGHT pipelining, renderer.rs:46) and only
+  blocks on explicit `readback()` / `save_png()`.
+- Input is an explicit `set of Keys` fed to `step()` (main.rs key set).
+- ECS systems run per frame (rotation, perf stats); resources feed the
+  traced params exactly like update_uniform_buffer's arguments.
+- Resize = new GltfConfig = cached re-jit (swapchain recreation,
+  renderer.rs:497-613).
+- Frame failures: the reference early-returns on fence timeouts / stale
+  swapchains (main.rs:601-667); here any device exception is caught, the
+  frame is skipped, and the loop stays alive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Iterable, Optional
+
+import jax
+import numpy as np
+
+from .. import ecs
+from ..frame import (FrameState, GltfConfig, GltfParams, compiled_gltf_frame,
+                     init_frame_state)
+from ..models.gltf import GltfScene
+from ..models.png_io import linear_to_srgb, write_png
+from ..models.scene import DeviceScene, build_device_scene
+from ..utils.profiling import FpsCounter, device_info
+from .camera import CameraController, Keys, update_camera
+from .ui import DebugPanel, UiChanges, UiData
+
+
+class FrameDriver:
+    """Owns world + scene + temporal state; steps frames."""
+
+    def __init__(self, cfg: GltfConfig,
+                 scene_path: Optional[str | Path] = None,
+                 device_scene: Optional[DeviceScene] = None,
+                 enable_ui: bool = True) -> None:
+        self.cfg = cfg
+        self.world = ecs.World()
+        self.world.insert_resource(ecs.FrameTiming())
+        self.world.insert_resource(ecs.PerformanceStats())
+        self.world.insert_resource(ecs.SceneObjects())
+        self.world.insert_resource(ecs.ShadowSettings())
+        self.camera = CameraController()
+        self.schedule = ecs.Schedule([ecs.rotation_system])
+        ecs.setup_scene(self.world)
+
+        if device_scene is not None:
+            self.device_scene = device_scene
+        else:
+            gltf = None
+            if scene_path is not None:
+                # Model path search list (main.rs:388-393 tries several
+                # locations and degrades gracefully).
+                try:
+                    gltf = GltfScene.load(scene_path)
+                    self.world.resource(ecs.SceneObjects).gltf_min_y = float(
+                        gltf.bounds_min[1])
+                except (OSError, ValueError) as e:  # no-model fallback
+                    print(f"glTF load failed ({e}); rendering ground only")
+            self.device_scene = build_device_scene(gltf)
+
+        self._frame_fn = compiled_gltf_frame(cfg)
+        self.state: FrameState = init_frame_state(cfg)
+        self.fps = FpsCounter()
+        self._last_image = None
+        self.ui = DebugPanel(cfg.width, cfg.height) if enable_ui else None
+        self.ui_visible = True
+        self.frame_count = 0
+
+    # -- params assembly (main.rs:680-714) ------------------------------------
+    def _params(self) -> GltfParams:
+        import jax.numpy as jnp
+
+        objects = self.world.resource(ecs.SceneObjects)
+        shadows = self.world.resource(ecs.ShadowSettings)
+        duck_y = -objects.gltf_min_y * objects.gltf_scale + 0.001
+        f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+        return GltfParams(
+            camera_pos=f32(self.camera.position),
+            camera_yaw=f32(self.camera.yaw),
+            camera_pitch=f32(self.camera.pitch),
+            camera_fov=f32(self.camera.fov),
+            duck_position=f32([0.0, duck_y, 0.0]),
+            duck_scale=f32(objects.gltf_scale),
+            shadow_softness=f32(shadows.softness),
+        )
+
+    def _sync_flags(self) -> None:
+        """ShadowSettings -> static frame flags; recompiles (cached) on
+        change, like binding a different pipeline."""
+        shadows = self.world.resource(ecs.ShadowSettings)
+        flags = dataclasses.replace(
+            self.cfg.flags,
+            use_pcss=shadows.use_pcss,
+            use_shadow_taa=shadows.use_shadow_taa,
+            debug_cascades=shadows.debug_cascades)
+        if flags != self.cfg.flags:
+            self.cfg = dataclasses.replace(self.cfg, flags=flags)
+            self._frame_fn = compiled_gltf_frame(self.cfg)
+
+    # -- frame loop ------------------------------------------------------------
+    def step(self, keys: Iterable[Keys] = (), dt: Optional[float] = None):
+        """One frame: input -> ECS -> camera -> dispatch render (async)."""
+        timing = self.world.resource(ecs.FrameTiming)
+        timing.delta_time = dt if dt is not None else 0.016
+        self.schedule.run(self.world)
+        ecs.update_performance_stats(self.world)
+        self.camera = update_camera(self.camera, keys, timing.delta_time)
+        self._sync_flags()
+
+        params = self._params()
+        try:
+            image, self.state = self._frame_fn(
+                self.device_scene, params, self.state)
+        except Exception as e:  # keep the loop alive (main.rs:601-613)
+            print(f"frame {self.frame_count} failed: {e}")
+            self.state = init_frame_state(self.cfg)
+            return self._last_image
+        self._last_image = image
+        self.frame_count += 1
+        self.fps.tick()
+        return image
+
+    def resize(self, width: int, height: int) -> None:
+        """Swapchain-recreation equivalent: re-jit at the new extent and
+        reset extent-sized temporal state (gltf_renderer.rs:2510-2656)."""
+        self.cfg = dataclasses.replace(self.cfg, width=width, height=height)
+        self._frame_fn = compiled_gltf_frame(self.cfg)
+        self.state = init_frame_state(self.cfg)
+        if self.ui is not None:
+            self.ui = DebugPanel(width, height)
+
+    def toggle_ui(self) -> None:  # F3 (main.rs:505-512)
+        self.ui_visible = not self.ui_visible
+
+    # -- output ----------------------------------------------------------------
+    def readback(self, srgb: bool = True) -> np.ndarray:
+        """Block and fetch the last frame (the only host<->device sync)."""
+        img = self._last_image
+        if img is None:
+            raise RuntimeError("no frame rendered yet")
+        if self.ui is not None and self.ui_visible:
+            img = self._composite_ui(img)
+        if srgb:
+            img = linear_to_srgb(img[..., :3])
+        return np.asarray(img)
+
+    def _composite_ui(self, image):
+        data = self.ui_data()
+        return self.ui.render_over(image, data)
+
+    def ui_data(self) -> UiData:
+        objects = self.world.resource(ecs.SceneObjects)
+        shadows = self.world.resource(ecs.ShadowSettings)
+        return UiData(
+            fps=self.fps.fps,
+            frame_time_ms=self.fps.frame_time_ms,
+            gltf_scale=objects.gltf_scale,
+            debug_cascades=shadows.debug_cascades,
+            shadow_softness=shadows.softness,
+            use_pcss=shadows.use_pcss,
+            use_shadow_taa=shadows.use_shadow_taa,
+            entity_count=self.world.entity_count(),
+            component_count=self.world.component_count(),
+            gpu_info=device_info(),
+        )
+
+    def apply_ui_changes(self, changes: UiChanges) -> None:
+        """UI mutations -> ECS resources (main.rs:779-790)."""
+        objects = self.world.resource(ecs.SceneObjects)
+        shadows = self.world.resource(ecs.ShadowSettings)
+        if changes.gltf_scale is not None:
+            objects.gltf_scale = changes.gltf_scale
+        if changes.debug_cascades is not None:
+            shadows.debug_cascades = changes.debug_cascades
+        if changes.shadow_softness is not None:
+            shadows.softness = changes.shadow_softness
+        if changes.use_pcss is not None:
+            shadows.use_pcss = changes.use_pcss
+        if changes.use_shadow_taa is not None:
+            shadows.use_shadow_taa = changes.use_shadow_taa
+
+    def save_png(self, path: str | Path) -> None:
+        write_png(path, self.readback())
+
+    def title(self) -> str:
+        """Window-title string (main.rs:351-360)."""
+        return (f"Funky Renderer | FPS: {self.fps.fps:.1f} | "
+                f"Frame: {self.fps.frame_time_ms:.2f}ms | "
+                f"ECS + JAX/TPU")
+
+    def run(self, n_frames: int, keys: Iterable[Keys] = ()) -> float:
+        """Headless loop; returns steady-state FPS (dispatch-async, one
+        final sync — the frames-in-flight model)."""
+        img = None
+        for _ in range(n_frames):
+            img = self.step(keys)
+        if img is not None:
+            jax.block_until_ready(img)
+        return self.fps.fps

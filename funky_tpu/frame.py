@@ -139,10 +139,11 @@ class GltfConfig:
     height: int = 1080
     shadow_map_size: int = uniforms.SHADOW_MAP_SIZE
     raster: RasterConfig = dataclasses.field(
-        default_factory=lambda: RasterConfig(capacity=512))
+        default_factory=lambda: RasterConfig(tile_h=32, tile_w=128,
+                                             capacity=1280))
     shadow_raster: RasterConfig = dataclasses.field(
         default_factory=lambda: RasterConfig(tile_h=128, tile_w=128,
-                                             capacity=512))
+                                             capacity=2048))
     flags: GltfFrameFlags = dataclasses.field(default_factory=GltfFrameFlags)
 
     @property

@@ -134,9 +134,14 @@ def triangle_setup(clip: jnp.ndarray, tri_indices: jnp.ndarray,
 
 
 def bin_triangles(setup: TriangleSetup, width: int, height: int,
-                  tile_h: int, tile_w: int,
-                  capacity: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  tile_h: int, tile_w: int, capacity: int,
+                  y_offset: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build per-tile triangle lists.
+
+    Args:
+      y_offset: first framebuffer row of this viewport slice (multi-chip
+        row sharding: each device bins only its rows; must be a multiple
+        of tile_h).
 
     Returns:
       bins: (n_tiles, capacity) int32 triangle ids, -1 padded, ascending
@@ -158,7 +163,7 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     ty1 = jnp.floor((aabb[:, 3] - 1e-6) / tile_h).astype(jnp.int32)
 
     tile_ix = jnp.arange(tiles_x, dtype=jnp.int32)
-    tile_iy = jnp.arange(tiles_y, dtype=jnp.int32)
+    tile_iy = jnp.arange(tiles_y, dtype=jnp.int32) + y_offset // tile_h
 
     in_x = ((tile_ix[None, :] >= tx0[:, None])
             & (tile_ix[None, :] <= tx1[:, None]))       # (T, tiles_x)
@@ -182,10 +187,15 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
 
 
 def gather_bin_data(setup: TriangleSetup, bins: jnp.ndarray) -> jnp.ndarray:
-    """Pre-gather raster data per bin entry: (n_tiles, C, 12).
+    """Pre-gather raster data per bin entry: (n_tiles, C, 16).
 
-    One dense XLA gather outside the raster kernel, so the kernel streams
-    its block sequentially from HBM instead of doing random access.
+    Columns 0..11 = bary planes + z plane; column 12 = the triangle id
+    bitcast to f32 (TPU Mosaic only supports dynamic indexing on the
+    sublane dim, so the id rides inside the row instead of a separate
+    lane-indexed array); 13..15 pad. One dense XLA gather outside the
+    raster kernel, so the kernel streams its block sequentially from HBM.
     """
     safe = jnp.maximum(bins, 0)
-    return setup.data[safe][..., :12]
+    rows = setup.data[safe]                              # (n_tiles, C, 16)
+    ids_f = jax.lax.bitcast_convert_type(bins, jnp.float32)
+    return rows.at[..., 12].set(ids_f)

@@ -50,8 +50,9 @@ def _backend(cfg: RasterConfig) -> str:
 
 
 def rasterize(bin_data: jnp.ndarray, bins: jnp.ndarray, counts: jnp.ndarray,
-              width: int, height: int,
-              cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              width: int, height: int, cfg: RasterConfig,
+              y_offset: jnp.ndarray | int = 0
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rasterize binned triangles.
 
     Args:
@@ -59,38 +60,50 @@ def rasterize(bin_data: jnp.ndarray, bins: jnp.ndarray, counts: jnp.ndarray,
         plane) from binning.gather_bin_data.
       bins: (n_tiles, C) triangle ids, -1 padding.
       counts: (n_tiles,) real entry counts.
-      width/height: framebuffer size.
+      width/height: framebuffer size (of this viewport slice).
+      y_offset: first global framebuffer row of this slice (traced ok) —
+        used by multi-chip row sharding; 0 for the full frame.
 
     Returns:
       tri_id: (H, W) int32, -1 where empty.
       depth:  (H, W) float32 NDC depth, 1.0 where empty.
     """
+    y_offset = jnp.asarray(y_offset, jnp.int32)
     if _backend(cfg) == "pallas":
         from .raster_pallas import rasterize_pallas
 
-        return rasterize_pallas(bin_data, bins, counts, width, height, cfg)
-    return _rasterize_jnp(bin_data, bins, counts, width, height, cfg)
+        return rasterize_pallas(bin_data, bins, counts, width, height, cfg,
+                                y_offset)
+    return _rasterize_jnp(bin_data, bins, counts, y_offset, width, height,
+                          cfg)
 
 
 def raster_scene(clip: jnp.ndarray, tri_indices: jnp.ndarray,
                  width: int, height: int, num_triangles: int,
-                 cfg: RasterConfig):
+                 cfg: RasterConfig, y_offset: jnp.ndarray | int = 0,
+                 slice_height: int | None = None):
     """Full raster pipeline: setup -> bin -> gather -> rasterize.
 
-    Returns (tri_id (H,W) i32, depth (H,W) f32, TriangleSetup).
+    width/height describe the FULL framebuffer (triangle setup is global);
+    y_offset + slice_height select the row slab this call rasters (row
+    sharding across chips). Returns (tri_id, depth, TriangleSetup) where
+    the buffers are (slice_height or height, width).
     """
     from .binning import bin_triangles, gather_bin_data, triangle_setup
 
+    sh = height if slice_height is None else slice_height
     setup = triangle_setup(clip, tri_indices, width, height, num_triangles)
-    bins, counts = bin_triangles(setup, width, height,
-                                 cfg.tile_h, cfg.tile_w, cfg.capacity)
+    bins, counts = bin_triangles(setup, width, sh,
+                                 cfg.tile_h, cfg.tile_w, cfg.capacity,
+                                 y_offset)
     bin_data = gather_bin_data(setup, bins)
-    tri_id, depth = rasterize(bin_data, bins, counts, width, height, cfg)
+    tri_id, depth = rasterize(bin_data, bins, counts, width, sh, cfg,
+                              y_offset)
     return tri_id, depth, setup
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _rasterize_jnp(bin_data, bins, counts, width, height, cfg):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _rasterize_jnp(bin_data, bins, counts, y_offset, width, height, cfg):
     th, tw = cfg.tile_h, cfg.tile_w
     tiles_y, tiles_x = cfg.tiles(width, height)
     n_tiles = tiles_y * tiles_x
@@ -100,7 +113,8 @@ def _rasterize_jnp(bin_data, bins, counts, width, height, cfg):
     ox = jnp.arange(tw, dtype=jnp.float32)[None, :] + 0.5   # (1, tw)
 
     def raster_tile(tile_idx, data, ids):
-        ty = (tile_idx // tiles_x).astype(jnp.float32) * th
+        ty = (tile_idx // tiles_x).astype(jnp.float32) * th \
+            + y_offset.astype(jnp.float32)
         tx = (tile_idx % tiles_x).astype(jnp.float32) * tw
         py = oy + ty                                         # (th, 1)
         px = ox + tx                                         # (1, tw)

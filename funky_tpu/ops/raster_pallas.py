@@ -28,62 +28,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _raster_kernel(counts_ref, data_ref, ids_ref, id_out, z_out,
+def _raster_kernel(offset_ref, counts_ref, data_ref, id_out, z_out,
                    *, tile_h: int, tile_w: int, tiles_x: int):
     t = pl.program_id(0)
     count = counts_ref[t]
 
     ty = t // tiles_x
     tx = t % tiles_x
-    base_y = (ty * tile_h).astype(jnp.float32)
+    base_y = (ty * tile_h + offset_ref[0]).astype(jnp.float32)
     base_x = (tx * tile_w).astype(jnp.float32)
 
-    py = (base_y + 0.5
-          + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0))
-    px = (base_x + 0.5
-          + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1))
+    py = (base_y + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32))
+    px = (base_x + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32))
 
-    id_out[0] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-    z_out[0] = jnp.ones((tile_h, tile_w), jnp.float32)
-
-    def body(i, _):
-        d = data_ref[0, i]                      # (12,) raster row
-        tid = ids_ref[0, i]
+    # z/id live in fori_loop carries (vector registers), NOT in the output
+    # refs: a ref round-trip per triangle serializes on VMEM latency and is
+    # ~5x slower end to end.
+    def body(i, carry):
+        zbuf, idbuf = carry
+        d = data_ref[0, i]                      # (16,) raster row
+        # id rides in the row (scalar bitcast via 2D reshape; Mosaic has
+        # no 0/1-D bitcast)
+        tid = pltpu.bitcast(d[12].reshape(1, 1), jnp.int32)[0, 0]
         b0 = d[0] * px + d[1] * py + d[2]
         b1 = d[3] * px + d[4] * py + d[5]
         b2 = d[6] * px + d[7] * py + d[8]
         z = d[9] * px + d[10] * py + d[11]
-        zbuf = z_out[0]
         cover = ((b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
                  & (z >= 0.0) & (z < zbuf))
-        z_out[0] = jnp.where(cover, z, zbuf)
-        id_out[0] = jnp.where(cover, tid, id_out[0])
-        return 0
+        return jnp.where(cover, z, zbuf), jnp.where(cover, tid, idbuf)
 
-    jax.lax.fori_loop(0, count, body, 0)
+    z_init = jnp.ones((tile_h, tile_w), jnp.float32)
+    id_init = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    z_final, id_final = jax.lax.fori_loop(0, count, body, (z_init, id_init))
+    id_out[0] = id_final
+    z_out[0] = z_final
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _rasterize_pallas_padded(bin_data, bins, counts, tile_h, tile_w,
-                             tiles_y, tiles_x):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _rasterize_pallas_padded(bin_data, bins, counts, y_offset, tile_h,
+                             tile_w, tiles_y, tiles_x):
     n_tiles, capacity, _ = bin_data.shape
 
     kernel = functools.partial(_raster_kernel, tile_h=tile_h, tile_w=tile_w,
                                tiles_x=tiles_x)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, capacity, 12), lambda i, s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, capacity), lambda i, s: (i, 0),
+            pl.BlockSpec((1, capacity, 16), lambda i, o, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, o, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, s: (i, 0, 0),
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, o, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -101,19 +103,20 @@ def _rasterize_pallas_padded(bin_data, bins, counts, tile_h, tile_w,
             + 2 * n_tiles * tile_h * tile_w * 4,
             transcendentals=0,
         ),
-    )(counts, bin_data, bins)
+    )(y_offset.reshape(1), counts, bin_data)
     return id_tiles, z_tiles
 
 
 def rasterize_pallas(bin_data: jnp.ndarray, bins: jnp.ndarray,
                      counts: jnp.ndarray, width: int, height: int,
-                     cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     cfg, y_offset=0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-path entry: same contract as ops.raster.rasterize."""
     th, tw = cfg.tile_h, cfg.tile_w
     tiles_y, tiles_x = cfg.tiles(width, height)
 
     id_tiles, z_tiles = _rasterize_pallas_padded(
-        bin_data, bins, counts, th, tw, tiles_y, tiles_x)
+        bin_data, bins, counts, jnp.asarray(y_offset, jnp.int32),
+        th, tw, tiles_y, tiles_x)
 
     tri_id = (id_tiles.reshape(tiles_y, tiles_x, th, tw)
               .transpose(0, 2, 1, 3).reshape(tiles_y * th, tiles_x * tw))

@@ -181,4 +181,8 @@ def test_binning_lists():
     assert counts.tolist() == [0, 1, 0, 1]
     assert bins[1, 0] == 0 and bins[3, 0] == 0
     data = gather_bin_data(setup, jnp.asarray(bins))
-    assert data.shape == (4, 4, 12)
+    assert data.shape == (4, 4, 16)
+    # ids ride in column 12 (bitcast f32)
+    ids = np.asarray(data[..., 12]).view(np.int32)
+    assert ids[1, 0] == 0 and ids[3, 0] == 0
+    assert ids[0, 0] == -1
