@@ -218,12 +218,10 @@ def init_frame_state(cfg: GltfConfig) -> FrameState:
     )
 
 
-def render_gltf_frame(scene: DeviceScene, params: GltfParams,
-                      state: FrameState, cfg: GltfConfig):
-    """One full frame (render loop of gltf_renderer.rs:1995-2387 as a pure
-    function). Returns (linear RGBA (H, W, 4), new FrameState)."""
+def compute_frame_uniforms(params: GltfParams, state: FrameState,
+                           cfg: GltfConfig):
     flags = cfg.flags
-    uni = uniforms.compute_uniforms(
+    return uniforms.compute_uniforms(
         camera_pos=params.camera_pos,
         camera_yaw=params.camera_yaw,
         camera_pitch=params.camera_pitch,
@@ -241,25 +239,20 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
         shadow_map_size=cfg.shadow_map_size,
     )
 
-    # -- vertex stage (shared by shadow + main passes) --
-    world_v, clip, normals_v = geometry.transform_vertices(
-        scene, uni.models, uni.view_proj)
-    blocks = geometry.build_shade_blocks(scene, world_v, clip, normals_v)
 
-    # -- shadow cascade depth passes --
-    if flags.enable_shadows:
-        shadow_maps = shadow.render_shadow_maps(
-            world_v, scene.tri_indices, scene.num_triangles,
-            uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
-    else:
-        shadow_maps = None
+def shade_slab(scene: DeviceScene, uni, state: FrameState,
+               shadow_maps, tri_id, depth, setup_data, blocks,
+               cfg: GltfConfig, y0=0):
+    """Per-pixel back half of the frame for a row slab [y0, y0+h):
+    deferred attributes -> cascade shadow filtering -> TAA -> contact
+    shadows -> final shading (gltf.frag main). Pure; the single-chip frame
+    uses one full-height slab, multi-chip shards rows over devices.
 
-    # -- main visibility pass + deferred attributes --
-    tri_id, depth, setup = raster_scene(
-        clip, scene.tri_indices, cfg.width, cfg.height,
-        scene.num_triangles, cfg.raster)
-    gbuf = deferred.interpolate(tri_id, depth, setup.data, blocks,
-                                scene.tri_flags)
+    Returns (rgba (h, W, 4), shadow-history slab (h, W, 2)).
+    """
+    flags = cfg.flags
+    gbuf = deferred.interpolate(tri_id, depth, setup_data, blocks,
+                                scene.tri_flags, y0)
 
     normal = gbuf.normal / jnp.maximum(
         jnp.linalg.norm(gbuf.normal, axis=-1, keepdims=True), 1e-12)
@@ -270,12 +263,12 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
     view_z = (gbuf.world @ uni.view[2, :3].T) + uni.view[2, 3]
     view_depth = -view_z
 
-    h, w = cfg.height, cfg.width
+    h, w = tri_id.shape
     frag = jnp.stack([
         jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5,
                          (h, w)),
-        jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5,
-                         (h, w)),
+        jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+                         + jnp.asarray(y0, jnp.float32), (h, w)),
     ], axis=-1)
 
     # -- shadow filtering + TAA + contact shadows --
@@ -291,17 +284,21 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
         ct = jnp.zeros((h, w), jnp.float32)
 
     shadow_term, new_history = taa.apply_shadow_taa(
-        sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa)
+        sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa,
+        y0, cfg.height)
 
     if flags.enable_contact_shadows:
         contact_term = contact.compute_contact_shadow(
-            gbuf.world, normal, uni, state.prev_depth)
+            gbuf.world, normal, uni, state.prev_depth, y0)
         shadow_term = jnp.minimum(shadow_term, contact_term)  # gltf.frag:619
 
     # History only updates where fragments actually shaded (imageStore
-    # under the raster, gltf.frag:588).
-    new_history = jnp.where(gbuf.valid[..., None], new_history,
-                            state.shadow_history)
+    # under the raster, gltf.frag:588). The old slab is sliced from the
+    # full history at y0.
+    old_slab = jax.lax.dynamic_slice(
+        state.shadow_history, (jnp.asarray(y0, jnp.int32), 0, 0),
+        (h, w, 2))
+    new_history = jnp.where(gbuf.valid[..., None], new_history, old_slab)
 
     # -- final shading --
     background = jnp.asarray(GLTF_CLEAR, jnp.float32)
@@ -311,6 +308,40 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
     else:
         rgba = shading.shade_gltf(gbuf, scene.texture, uni.camera_pos,
                                   uni.light_dir, shadow_term, background)
+    return rgba, new_history
+
+
+def render_gltf_frame(scene: DeviceScene, params: GltfParams,
+                      state: FrameState, cfg: GltfConfig):
+    """One full frame (render loop of gltf_renderer.rs:1995-2387 as a pure
+    function). Returns (linear RGBA (H, W, 4), new FrameState)."""
+    flags = cfg.flags
+    uni = compute_frame_uniforms(params, state, cfg)
+
+    # -- vertex stage (shared by shadow + main passes) --
+    world_v, clip, normals_v = geometry.transform_vertices(
+        scene, uni.models, uni.view_proj)
+    blocks = geometry.build_shade_blocks(scene, world_v, clip, normals_v)
+
+    # -- shadow cascade depth passes --
+    if flags.enable_shadows:
+        from .ops.sampling import quad_pack
+
+        shadow_maps = shadow.render_shadow_maps(
+            world_v, scene.tri_indices, scene.num_triangles,
+            uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
+        # quad-pack once (dense shifts) so every filter tap is ONE gather
+        shadow_maps = jax.vmap(quad_pack)(shadow_maps)   # (4, S, S, 4)
+    else:
+        shadow_maps = None
+
+    # -- main visibility pass --
+    tri_id, depth, setup = raster_scene(
+        clip, scene.tri_indices, cfg.width, cfg.height,
+        scene.num_triangles, cfg.raster)
+
+    rgba, new_history = shade_slab(scene, uni, state, shadow_maps,
+                                   tri_id, depth, setup.data, blocks, cfg)
 
     new_state = FrameState(
         shadow_history=new_history,

@@ -142,6 +142,183 @@ def sample_bilinear_edge(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - fy) + bot * fy
 
 
+# ---------------------------------------------------------------------------
+# Quad-packed sampling: XLA's TPU gather costs ~10-15ns per gathered ROW
+# regardless of row width (it's a serial dynamic-slice loop), so every
+# multi-texel fetch should be ONE wide row. We pre-pack each texel's 2x2
+# neighborhood [d(y,x), d(y,x+1), d(y+1,x), d(y+1,x+1)] into a 4-wide row
+# (edge-clamped), turning a bilinear/compare tap from 4 gathers into 1.
+# This is the software analogue of the GPU's texture-cache quad fetch.
+# ---------------------------------------------------------------------------
+
+def quad_pack(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (H, W, 4) with each row's 2x2 neighborhood, edge-clamped
+    (so out-of-range +1 neighbors repeat the edge, matching CLAMP_TO_EDGE;
+    border-mode samplers mask separately)."""
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:, :], img[-1:, :]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.stack([img, right, down, down_right], axis=-1)
+
+
+def quad_pack_nhwc(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H, W, 4*C): 2x2 neighborhood of full texel rows
+    (channel-major per corner), wrap-addressed (REPEAT) for textures."""
+    right = jnp.roll(img, -1, axis=1)
+    down = jnp.roll(img, -1, axis=0)
+    down_right = jnp.roll(down, -1, axis=1)
+    return jnp.concatenate([img, right, down, down_right], axis=-1)
+
+
+def _row_gather(packed: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray):
+    """Gather rows from (H, W, K): one gather per (iy, ix)."""
+    h, w, k = packed.shape
+    flat = packed.reshape(h * w, k)
+    return flat[iy * w + ix]
+
+
+def sample_bilinear_repeat_packed(tex_packed: jnp.ndarray,
+                                  uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear REPEAT sampling from a quad-packed (H, W, 4*C) texture:
+    ONE gathered row per sample instead of four."""
+    h, w, k4 = tex_packed.shape
+    c = k4 // 4
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    ix = jnp.mod(x0.astype(jnp.int32), w)
+    iy = jnp.mod(y0.astype(jnp.int32), h)
+    quad = _row_gather(tex_packed, iy, ix)               # (..., 4C)
+    t00 = quad[..., 0 * c:1 * c]
+    t10 = quad[..., 1 * c:2 * c]
+    t01 = quad[..., 2 * c:3 * c]
+    t11 = quad[..., 3 * c:4 * c]
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _quad_corners(quad, x_ok, y_ok):
+    """Correct quad corners when the base texel was clamped from a negative
+    index: with base clamped up, the +1 corners must repeat the clamped
+    edge (the packed row is shifted by one otherwise)."""
+    c00, c10, c01, c11 = (quad[..., 0], quad[..., 1],
+                          quad[..., 2], quad[..., 3])
+    c10 = jnp.where(x_ok, c10, c00)
+    c11 = jnp.where(x_ok, c11, c01)
+    c01 = jnp.where(y_ok, c01, c00)
+    c11 = jnp.where(y_ok, c11, c10)
+    return c00, c10, c01, c11
+
+
+def _quad_tap_setup(shape_hw, uv):
+    """Common packed-tap setup: returns (iy, ix clamped base texel, fy, fx,
+    inside flags per corner, base in-range)."""
+    h, w = shape_hw
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    def inb(iy, ix):
+        return (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+
+    inside = (inb(y0, x0), inb(y0, x0 + 1), inb(y0 + 1, x0),
+              inb(y0 + 1, x0 + 1))
+    cy = jnp.clip(y0, 0, h - 1)
+    cx = jnp.clip(x0, 0, w - 1)
+    return cy, cx, fy, fx, inside, (x0 >= 0), (y0 >= 0)
+
+
+def sample_shadow_compare_packed(packed_maps: jnp.ndarray,
+                                 layer: jnp.ndarray, uv: jnp.ndarray,
+                                 ref_depth: jnp.ndarray) -> jnp.ndarray:
+    """Hardware-PCF compare tap from quad-packed cascades
+    (L, S, S, 4): one gathered row per tap. Border = white (lit)."""
+    l, s, _, _ = packed_maps.shape
+    cy, cx, fy, fx, inside, x_ok, y_ok = _quad_tap_setup((s, s), uv)
+    flat = packed_maps.reshape(l * s * s, 4)
+    quad = flat[(layer * s + cy) * s + cx]               # (..., 4)
+    c00, c10, c01, c11 = _quad_corners(quad, x_ok, y_ok)
+
+    def cmp(d, inb):
+        return jnp.where(inb, (ref_depth <= d).astype(jnp.float32), 1.0)
+
+    t00 = cmp(c00, inside[0])
+    t10 = cmp(c10, inside[1])
+    t01 = cmp(c01, inside[2])
+    t11 = cmp(c11, inside[3])
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_bilinear_border_packed(packed_maps: jnp.ndarray,
+                                  layer: jnp.ndarray, uv: jnp.ndarray,
+                                  border: float = 1.0) -> jnp.ndarray:
+    """Raw-depth bilinear tap (PCSS blocker search) from quad-packed
+    cascades: one gathered row per tap, border color outside."""
+    l, s, _, _ = packed_maps.shape
+    cy, cx, fy, fx, inside, x_ok, y_ok = _quad_tap_setup((s, s), uv)
+    flat = packed_maps.reshape(l * s * s, 4)
+    quad = flat[(layer * s + cy) * s + cx]
+    c00, c10, c01, c11 = _quad_corners(quad, x_ok, y_ok)
+
+    t00 = jnp.where(inside[0], c00, border)
+    t10 = jnp.where(inside[1], c10, border)
+    t01 = jnp.where(inside[2], c01, border)
+    t11 = jnp.where(inside[3], c11, border)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_depth_dual_packed(packed: jnp.ndarray, uv: jnp.ndarray):
+    """Contact-shadow dual read (bilinear + nearest of the same depth
+    buffer, gltf.frag:150-169) from ONE quad-packed row gather.
+
+    packed: (H, W, 4) quad-packed depth (edge-clamped). Returns
+    (bilinear, nearest)."""
+    h, w, _ = packed.shape
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    ix = jnp.clip(x0, 0, w - 1)
+    iy = jnp.clip(y0, 0, h - 1)
+    quad = _row_gather(packed, iy, ix)
+    c00, c10, c01, c11 = _quad_corners(quad, x0 >= 0, y0 >= 0)
+    # CLAMP_TO_EDGE bilinear: out-of-range weights still blend clamped
+    # texels (fx/fy can exceed [0,1] by design of the GL rule).
+    fx = jnp.clip(fx, 0.0, 1.0)
+    fy = jnp.clip(fy, 0.0, 1.0)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    bilinear = top * (1 - fy) + bot * fy
+    # NEAREST = texel floor(u*size), expressed as a corner of the gathered
+    # quad (exact, including edge clamping: the quad base is clamped too).
+    nx = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1) - ix
+    ny = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1) - iy
+    nx = jnp.clip(nx, 0, 1)
+    ny = jnp.clip(ny, 0, 1)
+    nearest = jnp.where(
+        ny == 0,
+        jnp.where(nx == 0, c00, c10),
+        jnp.where(nx == 0, c01, c11))
+    return bilinear, nearest
+
+
 def _gather_layered(maps: jnp.ndarray, layer: jnp.ndarray,
                     iy: jnp.ndarray, ix: jnp.ndarray):
     """maps (L, H, W); per-element layer index."""

@@ -1,0 +1,119 @@
+"""Multi-chip frame: shard_map over framebuffer rows.
+
+Parallel decomposition (the TPU-native generalization of the reference's
+tile fan-out, SURVEY.md section 2 #14):
+
+- scene buffers, per-frame params and temporal state are REPLICATED
+  (geometry is KBs; pixel buffers are what matters);
+- each device rasterizes + shades its row slab of the framebuffer
+  (H / n rows) AND its row slab of every shadow cascade (S / n rows);
+- shadow-map slabs all-gather over ICI before filtering (every pixel can
+  sample any cascade texel); finished rgba / history / depth slabs
+  all-gather at the end so the returned state is replicated for the next
+  frame.
+
+All collectives are jax.lax.all_gather along the 1D 'rows' mesh axis —
+pure ICI traffic, no host involvement. The reference's equivalents were
+Vulkan pipeline barriers + a single GPU's hardware scheduler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..frame import (FrameState, GltfConfig, GltfParams,
+                     compute_frame_uniforms, shade_slab)
+from ..models.scene import DeviceScene
+from ..ops.raster import raster_scene
+from ..passes import geometry, shadow
+from .mesh import ROWS_AXIS
+
+
+def sharded_gltf_frame(mesh: Mesh, cfg: GltfConfig):
+    """Build a jitted multi-chip frame function.
+
+    Requires cfg.height % (n * tile_h) == 0 and shadow_map_size % (n *
+    shadow tile_h) == 0 so row slabs align with raster tiles.
+
+    Returns fn(scene, params, state) -> (rgba, new_state), with all
+    inputs/outputs replicated across the mesh.
+    """
+    n = mesh.shape[ROWS_AXIS]
+    flags = cfg.flags
+    slab_h = cfg.height // n
+    sm_slab = cfg.shadow_map_size // n
+    if slab_h * n != cfg.height or slab_h % cfg.raster.tile_h:
+        raise ValueError(
+            f"height {cfg.height} must split into {n} tile-aligned slabs")
+    if sm_slab * n != cfg.shadow_map_size or sm_slab % cfg.shadow_raster.tile_h:
+        raise ValueError("shadow map size must split into tile-aligned slabs")
+
+    def frame_body(scene: DeviceScene, params: GltfParams,
+                   state: FrameState):
+        idx = jax.lax.axis_index(ROWS_AXIS)
+        uni = compute_frame_uniforms(params, state, cfg)
+
+        # -- replicated vertex stage (tiny) --
+        world_v, clip, normals_v = geometry.transform_vertices(
+            scene, uni.models, uni.view_proj)
+        blocks = geometry.build_shade_blocks(scene, world_v, clip, normals_v)
+
+        # -- shadow cascades: each device rasters its row slab of each
+        # cascade, then all-gather to the full (4, S, S) maps --
+        if flags.enable_shadows:
+            sm_y0 = idx * sm_slab
+            ones = jnp.ones((world_v.shape[0], 1), jnp.float32)
+            hom = jnp.concatenate([world_v, ones], axis=-1)
+            slabs = []
+            for c in range(uni.light_view_proj.shape[0]):
+                clip_c = hom @ uni.light_view_proj[c].T
+                _, depth_c, _ = raster_scene(
+                    clip_c, scene.tri_indices, cfg.shadow_map_size,
+                    cfg.shadow_map_size, scene.num_triangles,
+                    cfg.shadow_raster, sm_y0, sm_slab)
+                slabs.append(depth_c)
+            local_sm = jnp.stack(slabs)                 # (4, S/n, S)
+            shadow_maps = jax.lax.all_gather(
+                local_sm, ROWS_AXIS, axis=1, tiled=True)  # (4, S, S)
+            from ..ops.sampling import quad_pack
+
+            shadow_maps = jax.vmap(quad_pack)(shadow_maps)
+        else:
+            shadow_maps = None
+
+        # -- main pass: row slab of the framebuffer --
+        y0 = idx * slab_h
+        tri_id, depth, setup = raster_scene(
+            clip, scene.tri_indices, cfg.width, cfg.height,
+            scene.num_triangles, cfg.raster, y0, slab_h)
+
+        rgba_slab, hist_slab = shade_slab(
+            scene, uni, state, shadow_maps, tri_id, depth, setup.data,
+            blocks, cfg, y0)
+
+        # -- gather slabs back to replicated full buffers --
+        rgba = jax.lax.all_gather(rgba_slab, ROWS_AXIS, axis=0, tiled=True)
+        new_history = jax.lax.all_gather(hist_slab, ROWS_AXIS, axis=0,
+                                         tiled=True)
+        new_depth = jax.lax.all_gather(depth, ROWS_AXIS, axis=0, tiled=True)
+
+        new_state = FrameState(
+            shadow_history=new_history,
+            prev_depth=new_depth,
+            prev_view_proj=uni.view_proj,
+            has_prev=jnp.ones((), bool),
+            frame_index=state.frame_index + 1,
+        )
+        return rgba, new_state
+
+    shmapped = jax.shard_map(
+        frame_body, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(shmapped)

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.sampling import sample_bilinear_edge, sample_nearest_edge
+from ..ops.sampling import (quad_pack, sample_bilinear_edge,
+                            sample_depth_dual_packed, sample_nearest_edge)
 from .shadow_filter import interleaved_gradient_noise
 from .uniforms import FrameUniforms
 
@@ -37,21 +38,26 @@ def _smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
-def _sample_depth_dual(depth_lin, depth_nst, uv):
+def _sample_depth_dual(depth_packed, uv):
     """gltf.frag:150-169: reciprocal 'linear' depth from both samplers,
-    max for hit detection, min for penetration."""
-    raw_linear = sample_bilinear_edge(depth_lin, uv)
-    raw_nearest = sample_nearest_edge(depth_nst, uv)
+    max for hit detection, min for penetration. depth_packed is the
+    quad-packed (H, W, 4) depth buffer — one gathered row yields BOTH the
+    bilinear and nearest reads (the reference needs two sampler binds;
+    we need one row fetch)."""
+    raw_linear, raw_nearest = sample_depth_dual_packed(depth_packed, uv)
     d_lin = 1.0 / jnp.maximum(raw_linear, 1e-4)
     d_nst = 1.0 / jnp.maximum(raw_nearest, 1e-4)
     return jnp.maximum(d_lin, d_nst), jnp.minimum(d_lin, d_nst)
 
 
 def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
-                           uni: FrameUniforms, prev_depth: jnp.ndarray
-                           ) -> jnp.ndarray:
-    """gltf.frag:324-363. Returns (H, W) shadow factor in [0, 1]."""
+                           uni: FrameUniforms, prev_depth: jnp.ndarray,
+                           y0=0) -> jnp.ndarray:
+    """gltf.frag:324-363. Returns (h, W) shadow factor in [0, 1] for the
+    row slab at global row y0; prev_depth is always full-frame (rays can
+    cross slab boundaries)."""
     h, w = world.shape[:2]
+    depth_packed = quad_pack(prev_depth)
     light_dir = uni.light_dir
 
     n_dot_l = jnp.sum(normal * light_dir, axis=-1)
@@ -99,7 +105,8 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
     frag_x = jnp.broadcast_to(
         jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5, (h, w))
     frag_y = jnp.broadcast_to(
-        jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5, (h, w))
+        jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+        + jnp.asarray(y0, jnp.float32), (h, w))
     jitter = interleaved_gradient_noise(jnp.stack(
         [frag_x + frame * 13.37, frag_y + frame * 17.17], axis=-1))
 
@@ -115,7 +122,7 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
         uv = cs[..., :2] * 0.5 + 0.5
         inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
                & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
-        d_max, d_min = _sample_depth_dual(prev_depth, prev_depth, uv)
+        d_max, d_min = _sample_depth_dual(depth_packed, uv)
         ray_depth = 1.0 / jnp.maximum(cs[..., 2], 1e-4)
         distance = d_max - ray_depth
         penetration = ray_depth - d_min

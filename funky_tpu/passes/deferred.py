@@ -35,7 +35,7 @@ class GBuffer(NamedTuple):
 
 def interpolate(tri_id: jnp.ndarray, depth: jnp.ndarray,
                 setup_data: jnp.ndarray, shade_blocks: jnp.ndarray,
-                tri_flags: jnp.ndarray) -> GBuffer:
+                tri_flags: jnp.ndarray, y0=0) -> GBuffer:
     """Args:
       tri_id: (H, W) int32 visibility buffer (-1 = empty).
       depth: (H, W) f32 NDC depth.
@@ -43,17 +43,29 @@ def interpolate(tri_id: jnp.ndarray, depth: jnp.ndarray,
       shade_blocks: (T, 3, 12) packed corner attributes
         [world(3), normal(3), uv(2), color(3), inv_w(1)].
       tri_flags: (T,) int32.
+      y0: global framebuffer row of this slab's first row (row sharding).
     """
     h, w = tri_id.shape
     valid = tri_id >= 0
     safe_id = jnp.maximum(tri_id, 0)
 
-    planes = setup_data[safe_id][..., :9]                # (H, W, 9)
-    blocks = shade_blocks[safe_id]                       # (H, W, 3, 12)
-    flags = tri_flags[safe_id]                           # (H, W)
+    # ONE fused row gather per pixel: XLA TPU gather pays a serial-loop
+    # cost per gathered ROW (width ~free), so setup planes (9), shade
+    # blocks (36) and flags (1) concat into a 46-wide row table first.
+    t = setup_data.shape[0]
+    fused = jnp.concatenate([
+        setup_data[:, :9],
+        shade_blocks.reshape(t, 36),
+        tri_flags[:, None].astype(jnp.float32),
+    ], axis=-1)                                          # (T, 46)
+    rows = fused[safe_id]                                # (H, W, 46)
+    planes = rows[..., :9]
+    blocks = rows[..., 9:45].reshape(h, w, 3, 12)
+    flags = rows[..., 45].astype(jnp.int32)
 
     px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    py = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+          + jnp.asarray(y0, jnp.float32))
 
     b0 = planes[..., 0] * px + planes[..., 1] * py + planes[..., 2]
     b1 = planes[..., 3] * px + planes[..., 4] * py + planes[..., 5]

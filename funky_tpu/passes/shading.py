@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..models.scene import FLAG_USE_TEXTURE
-from ..ops.sampling import sample_bilinear_repeat
+from ..ops.sampling import (quad_pack_nhwc, sample_bilinear_repeat,
+                            sample_bilinear_repeat_packed)
 from .deferred import GBuffer
 
 _FILL_DIR = (-0.5, 0.3, -0.8)
@@ -71,7 +72,9 @@ def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray, camera_pos: jnp.ndarray,
     Returns (H, W, 4) linear RGBA.
     """
     use_texture = (gbuf.flags & FLAG_USE_TEXTURE) != 0
-    tex = sample_bilinear_repeat(texture, gbuf.uv)        # (H, W, 4)
+    # Quad-packed bilinear: one gathered row per pixel instead of four
+    # (XLA TPU gather cost is per ROW, ~independent of width).
+    tex = sample_bilinear_repeat_packed(quad_pack_nhwc(texture), gbuf.uv)
     tex = jnp.where(use_texture[..., None], tex, 1.0)
 
     normal = _normalize(gbuf.normal)
@@ -109,9 +112,16 @@ def cascade_debug_color(gbuf: GBuffer, c0: jnp.ndarray, c1: jnp.ndarray,
     """Cascade visualization mode (gltf.frag:621-634)."""
     colors = jnp.asarray([[1.0, 0.2, 0.2], [0.2, 1.0, 0.2],
                           [0.2, 0.4, 1.0], [1.0, 1.0, 0.2]], jnp.float32)
-    base = colors[c0]
+
+    def pick(idx):  # one-hot select (per-pixel table gathers are slow)
+        oh = (idx[..., None] == jnp.arange(4, dtype=jnp.int32)).astype(
+            jnp.float32)
+        return oh @ colors
+
+    base = pick(c0)
     blended = jnp.where((ct > 0.0)[..., None],
-                        base * (1.0 - ct[..., None]) + colors[c1] * ct[..., None],
+                        base * (1.0 - ct[..., None])
+                        + pick(c1) * ct[..., None],
                         base)
     rgb = blended * (0.35 + 0.65 * shadow[..., None])
     rgb = jnp.where(gbuf.valid[..., None], rgb, background)

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import (sample_bilinear_border_array,
-                            sample_shadow_compare_array)
+                            sample_bilinear_border_packed,
+                            sample_shadow_compare_array,
+                            sample_shadow_compare_packed)
 from .uniforms import FrameUniforms
 
 BLOCKER_SAMPLES = 16   # gltf.frag:373
@@ -93,15 +95,23 @@ def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
                    world: jnp.ndarray, normal: jnp.ndarray,
                    n_dot_l: jnp.ndarray):
     """Normal-offset bias + light-space projection shared by PCF and PCSS
-    (gltf.frag:391-410 == 453-469)."""
+    (gltf.frag:391-410 == 453-469).
+
+    TPU note: gathering a per-pixel 4x4 matrix (lightViewProj[cascade]) is
+    a row gather XLA lowers to a serial loop (~30ms/frame); projecting
+    densely through ALL 4 cascades and one-hot selecting is pure VPU work
+    and ~free."""
     normal_bias = 0.02 * (1.0 - n_dot_l)
     biased = world + normal * normal_bias[..., None]
 
-    lvp = uni.light_view_proj[cascade]                    # (H, W, 4, 4)
     ones = jnp.ones(biased.shape[:-1] + (1,), jnp.float32)
-    hom = jnp.concatenate([biased, ones], axis=-1)
-    clip = jnp.einsum("...ij,...j->...i", lvp, hom)
-    proj = clip[..., :3] / clip[..., 3:4]
+    hom = jnp.concatenate([biased, ones], axis=-1)        # (H, W, 4)
+    # (C, H, W, 4) clip coords through every cascade
+    clip_all = jnp.einsum("cij,hwj->chwi", uni.light_view_proj, hom)
+    proj_all = clip_all[..., :3] / clip_all[..., 3:4]     # ortho: w == 1
+    sel = (cascade[None] == jnp.arange(
+        proj_all.shape[0], dtype=jnp.int32)[:, None, None])
+    proj = jnp.sum(jnp.where(sel[..., None], proj_all, 0.0), axis=0)
 
     uv = proj[..., :2] * 0.5 + 0.5
     receiver = proj[..., 2]
@@ -118,7 +128,10 @@ def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                 cascade: jnp.ndarray, world: jnp.ndarray,
                 normal: jnp.ndarray, n_dot_l: jnp.ndarray,
                 phi: jnp.ndarray) -> ShadowResult:
-    """PCSS with contact hardening (gltf.frag:366-450)."""
+    """PCSS with contact hardening (gltf.frag:366-450).
+
+    shadow_maps: quad-packed cascades (4, S, S, 4) from
+    ops.sampling.quad_pack."""
     uv, receiver, bias, in_bounds = _light_project(
         uni, cascade, world, normal, n_dot_l)
     receiver = receiver - bias                            # gltf.frag:410
@@ -132,8 +145,8 @@ def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     for i in range(BLOCKER_SAMPLES):
         dx, dy = vogel_disk(i, BLOCKER_SAMPLES, phi)
         off = jnp.stack([dx, dy], axis=-1) * (light_size_texels * texel)
-        d = sample_bilinear_border_array(shadow_maps, cascade, uv + off,
-                                         border=1.0)
+        d = sample_bilinear_border_packed(shadow_maps, cascade, uv + off,
+                                          border=1.0)
         hit = d < receiver
         blocker_sum = blocker_sum + jnp.where(hit, d, 0.0)
         blocker_cnt = blocker_cnt + hit.astype(jnp.float32)
@@ -153,8 +166,8 @@ def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     for i in range(PCF_SAMPLES):
         dx, dy = vogel_disk(i, PCF_SAMPLES, phi)
         off = jnp.stack([dx, dy], axis=-1) * (penumbra * texel)[..., None]
-        s = sample_shadow_compare_array(shadow_maps, cascade, uv + off,
-                                        receiver)
+        s = sample_shadow_compare_packed(shadow_maps, cascade, uv + off,
+                                         receiver)
         s_sum = s_sum + s
         s_sum2 = s_sum2 + s * s
 
@@ -189,8 +202,8 @@ def shadow_pcf(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 off = jnp.asarray([dx, dy], jnp.float32) * texel
-                s = sample_shadow_compare_array(shadow_maps, cascade,
-                                                uv + off, ref)
+                s = sample_shadow_compare_packed(shadow_maps, cascade,
+                                                 uv + off, ref)
                 s_sum = s_sum + s
                 s_sum2 = s_sum2 + s * s
         return s_sum / 9.0, s_sum2 / 9.0, jnp.ones_like(ref)
@@ -201,8 +214,8 @@ def shadow_pcf(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         for i in range(PCF_SAMPLES):
             dx, dy = vogel_disk(i, PCF_SAMPLES, phi)
             off = jnp.stack([dx, dy], axis=-1) * (radius * texel)
-            s = sample_shadow_compare_array(shadow_maps, cascade,
-                                            uv + off, ref)
+            s = sample_shadow_compare_packed(shadow_maps, cascade,
+                                             uv + off, ref)
             s_sum = s_sum + s
             s_sum2 = s_sum2 + s * s
         return (s_sum / PCF_SAMPLES, s_sum2 / PCF_SAMPLES,

@@ -28,10 +28,14 @@ def init_history(height: int, width: int) -> jnp.ndarray:
 
 def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
                      uni: FrameUniforms, history: jnp.ndarray,
-                     use_shadow_taa: bool
+                     use_shadow_taa: bool, y0=0,
+                     full_height: int | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (out_shadow (H, W), new_history (H, W, 2))."""
+    """Returns (out_shadow (h, W), new_history (h, W, 2)) for a row slab
+    starting at global row y0. `history` is always the FULL-frame buffer
+    (reprojection can land anywhere on screen); outputs cover the slab."""
     h, w = cur.v.shape
+    fh = full_height if full_height is not None else h
     current = cur.v
 
     # Current NDC depth for next frame's disocclusion test
@@ -50,10 +54,11 @@ def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
     # gl_FragCoord.xy is already the pixel center (x+0.5); the reference
     # adds another 0.5 (gltf.frag:544) — reproduced.
     frag_x = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    frag_y = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    frag_y = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+              + jnp.asarray(y0, jnp.float32))
     current_uv = jnp.stack(
         [jnp.broadcast_to((frag_x + 0.5) / w, (h, w)),
-         jnp.broadcast_to((frag_y + 0.5) / h, (h, w))], axis=-1)
+         jnp.broadcast_to((frag_y + 0.5) / fh, (h, w))], axis=-1)
 
     prev_clip = jnp.einsum("ij,hwj->hwi", uni.prev_view_proj, hom)
     w_ok = prev_clip[..., 3] > 0.0

@@ -25,6 +25,14 @@ import sys
 
 import pytest
 
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) force-sets
+# jax_platforms="axon,cpu" via jax.config at interpreter start, which
+# overrides the env var — override it back so tests really run on the
+# 8-device virtual CPU mesh, not the tunneled TPU.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
