@@ -15,6 +15,16 @@ ray-marches against a *stale* depth buffer from a previous frame. We define
 this cleanly: the previous frame's depth is carried state (prev_depth in
 the frame state), giving the same one-frame-lagged behavior without the
 race.
+
+Depth linearization: the reference approximates linear depth as
+1/ndc_depth (gltf.frag:159-160, 270) — a reverse-Z-ism left over from the
+kajiya source that, fed with a VALID standard-Z depth buffer, makes every
+surface "hit" immediately (the whole ground darkens ~15% and the model
+fully self-shadows; in the reference build the artifact is masked because
+the bound depth image is in an un-sampleable layout). We implement the
+algorithm's documented intent instead: exact view-space linearization
+d = near*far / (far - z*(far-near)) (the formula in gltf.frag:132-139's
+own comment), with the depth-thickness test in real world units.
 """
 
 from __future__ import annotations
@@ -38,15 +48,26 @@ def _smoothstep(e0, e1, x):
     return t * t * (3.0 - 2.0 * t)
 
 
+NEAR = 0.1     # the actual projection planes (gltf_renderer.rs:1818) —
+FAR = 100.0    # NOT getLinearDepth's stale 1000 constant (gltf.frag:137)
+
+
+def _linearize(ndc_z):
+    """Exact view-space depth from standard-Z NDC depth
+    (gltf.frag:132-139's documented formula)."""
+    denom = jnp.maximum(FAR - ndc_z * (FAR - NEAR), 1e-3)
+    return NEAR * FAR / denom
+
+
 def _sample_depth_dual(depth_packed, uv):
-    """gltf.frag:150-169: reciprocal 'linear' depth from both samplers,
+    """gltf.frag:150-169: linearized depth from both filter modes,
     max for hit detection, min for penetration. depth_packed is the
     quad-packed (H, W, 4) depth buffer — one gathered row yields BOTH the
     bilinear and nearest reads (the reference needs two sampler binds;
     we need one row fetch)."""
     raw_linear, raw_nearest = sample_depth_dual_packed(depth_packed, uv)
-    d_lin = 1.0 / jnp.maximum(raw_linear, 1e-4)
-    d_nst = 1.0 / jnp.maximum(raw_nearest, 1e-4)
+    d_lin = _linearize(raw_linear)
+    d_nst = _linearize(raw_nearest)
     return jnp.maximum(d_lin, d_nst), jnp.minimum(d_lin, d_nst)
 
 
@@ -123,7 +144,8 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
         inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
                & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
         d_max, d_min = _sample_depth_dual(depth_packed, uv)
-        ray_depth = 1.0 / jnp.maximum(cs[..., 2], 1e-4)
+        ray_depth = _linearize(cs[..., 2])
+        # ray behind the surface (farther than stored depth) => occluded
         distance = d_max - ray_depth
         penetration = ray_depth - d_min
         valid = penetration < DEPTH_THICKNESS
