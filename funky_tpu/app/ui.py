@@ -71,18 +71,20 @@ def build_font_atlas() -> Tuple[np.ndarray, dict, int, int]:
     from PIL import Image, ImageDraw, ImageFont
 
     font = ImageFont.load_default()
-    gw, gh = 8, 13  # PIL default bitmap font cell
+    gw, gh = 8, 13   # PIL default bitmap font cell
+    pad = 2          # inter-cell padding: stops bilinear bleed
+    cw, chh = gw + pad, gh + pad
     cols = 16
     rows = -(-len(_GLYPHS) // cols)
     pad_top = 2  # row 0..1 reserved: white texels
-    aw, ah = cols * gw, rows * gh + pad_top
+    aw, ah = cols * cw, rows * chh + pad_top
 
     img = Image.new("L", (aw, ah), 0)
     draw = ImageDraw.Draw(img)
     uvmap = {}
     for i, ch in enumerate(_GLYPHS):
-        cx = (i % cols) * gw
-        cy = (i // cols) * gh + pad_top
+        cx = (i % cols) * cw
+        cy = (i // cols) * chh + pad_top
         draw.text((cx, cy), ch, fill=255, font=font)
         uvmap[ch] = (cx / aw, cy / ah, (cx + gw) / aw, (cy + gh) / ah)
 
@@ -248,6 +250,13 @@ class DebugPanel:
             jnp.asarray(verts), jnp.asarray(uvs), jnp.asarray(cols),
             jnp.asarray(tris), jnp.asarray(n), self.atlas,
             (PANEL_H, PANEL_W))
+        # scissor the panel to the frame (egui clip rects,
+        # egui_vulkan.rs:387-397)
+        vis_h = min(PANEL_H, self.frame_height - PANEL_Y)
+        vis_w = min(PANEL_W, self.frame_width - PANEL_X)
+        if vis_h <= 0 or vis_w <= 0:
+            return image
+        overlay = overlay[:vis_h, :vis_w]
         return composite_overlay(image, overlay,
                                  jnp.int32(PANEL_X), jnp.int32(PANEL_Y))
 

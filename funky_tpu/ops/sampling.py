@@ -131,8 +131,11 @@ def sample_bilinear_border(img: jnp.ndarray, uv: jnp.ndarray,
 
 
 def sample_bilinear_edge(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """LINEAR + CLAMP_TO_EDGE (sceneDepthLinear). (H, W) only."""
+    """LINEAR + CLAMP_TO_EDGE (sceneDepthLinear). (H, W) or (H, W, C)."""
     cy0, cx0, cy1, cx1, fy, fx, _ = _bilinear_clamped_taps(img.shape[:2], uv)
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
     t00 = _gather2d(img, cy0, cx0)
     t10 = _gather2d(img, cy0, cx1)
     t01 = _gather2d(img, cy1, cx0)

@@ -1,0 +1,125 @@
+"""SDF raymarch demo, UI overlay compositing, and the frame driver."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from funky_tpu.models.sdf import (SdfConfig, compiled_sdf_frame,
+                                  default_sdf_camera, scene_sdf)
+
+
+def test_sdf_scene_distances():
+    # ground plane at y=0
+    d, mat = scene_sdf(jnp.asarray([5.0, 2.0, 5.0]), jnp.asarray(0.0))
+    assert abs(float(d) - 2.0) < 0.2 or float(d) <= 2.0  # min of all objects
+    d, mat = scene_sdf(jnp.asarray([8.0, 0.0, 8.0]), jnp.asarray(0.0))
+    assert abs(float(d)) < 1e-5 and int(mat) == 0
+
+
+def test_sdf_render():
+    cfg = SdfConfig(width=160, height=96)
+    pos, yaw, pitch, fov = default_sdf_camera()
+    img = np.asarray(compiled_sdf_frame(cfg)(0.7, pos, yaw, pitch, fov))
+    assert img.shape == (96, 160, 4)
+    assert np.isfinite(img).all()
+    # sky at the top, ground at the bottom
+    assert img[0, 80, 2] > img[0, 80, 0]          # bluish sky
+    # scene object somewhere near center (warm blob or blue torus)
+    center = img[40:70, 60:110, :3]
+    assert center.std() > 0.02
+    # animation changes the image
+    img2 = np.asarray(compiled_sdf_frame(cfg)(2.9, pos, yaw, pitch, fov))
+    assert np.abs(img2 - img).max() > 0.05
+
+
+def test_overlay_rasterize_and_blend():
+    from funky_tpu.app.ui import Tessellator
+    from funky_tpu.passes.overlay import composite_overlay, rasterize_overlay
+
+    t = Tessellator()
+    t.rect(2, 2, 20, 10, (1.0, 0.0, 0.0, 0.5))      # half-transparent red
+    verts, uvs, cols, tris, n = t.arrays()
+    overlay = rasterize_overlay(jnp.asarray(verts), jnp.asarray(uvs),
+                                jnp.asarray(cols), jnp.asarray(tris),
+                                jnp.asarray(n), jnp.asarray(t.atlas),
+                                (32, 64))
+    ov = np.asarray(overlay)
+    # inside the rect: premultiplied red at alpha .5
+    np.testing.assert_allclose(ov[6, 10], [0.5, 0, 0, 0.5], atol=1e-5)
+    np.testing.assert_allclose(ov[20, 40], [0, 0, 0, 0], atol=1e-6)
+
+    frame = jnp.full((48, 80, 4), 0.2, jnp.float32)
+    out = np.asarray(composite_overlay(frame, overlay,
+                                       jnp.int32(8), jnp.int32(4)))
+    # ONE/ONE_MINUS_SRC_ALPHA: 0.5 + 0.2*0.5 = 0.6 red, 0.1 green
+    np.testing.assert_allclose(out[10, 18, 0], 0.6, atol=1e-5)
+    np.testing.assert_allclose(out[10, 18, 1], 0.1, atol=1e-5)
+    # outside the panel: untouched
+    np.testing.assert_allclose(out[0, 0], 0.2, atol=1e-6)
+
+
+def test_ui_text_renders_coverage():
+    from funky_tpu.app.ui import Tessellator
+    from funky_tpu.passes.overlay import rasterize_overlay
+
+    t = Tessellator()
+    t.text(2, 2, "FPS", (1, 1, 1, 1))
+    verts, uvs, cols, tris, n = t.arrays()
+    ov = np.asarray(rasterize_overlay(
+        jnp.asarray(verts), jnp.asarray(uvs), jnp.asarray(cols),
+        jnp.asarray(tris), jnp.asarray(n), jnp.asarray(t.atlas), (16, 32)))
+    assert ov[..., 3].max() > 0.5          # glyph coverage present
+    assert (ov[..., 3] > 0.2).sum() > 10   # several lit texels
+
+
+def test_ui_panel_and_hits():
+    from funky_tpu.app.ui import UiData, build_panel, DebugPanel
+
+    data = UiData(fps=59.9, frame_time_ms=16.7, gltf_scale=0.01,
+                  use_pcss=True, use_shadow_taa=False)
+    panel = build_panel(data)
+    assert len(panel.tris) > 50  # background + text + widgets
+
+    dp = DebugPanel(320, 200)
+    img = jnp.full((200, 320, 4), 0.3, jnp.float32)
+    out = np.asarray(dp.render_over(img, data))
+    assert out.shape == (200, 320, 4)
+    # panel darkens its region, leaves the rest
+    assert abs(out[-1, -1, 0] - 0.3) < 1e-5
+    assert out[20, 40, 0] != 0.3
+
+    # checkbox hit toggles; slider hit sets values in range
+    ch = dp.hit(16, 100, data)
+    toggles = [v for v in (ch.use_pcss, ch.use_shadow_taa,
+                           ch.debug_cascades) if v is not None]
+    assert len(toggles) <= 1
+
+
+def test_driver_end_to_end(duck_gltf_path):
+    from funky_tpu.app.camera import Keys
+    from funky_tpu.app.driver import FrameDriver
+    from funky_tpu.app.ui import UiChanges
+    from funky_tpu.frame import GltfConfig
+    from funky_tpu.ops.raster import RasterConfig
+
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=512, backend="jnp")
+    cfg = GltfConfig(width=256, height=128, shadow_map_size=128,
+                     raster=tile, shadow_raster=tile)
+    drv = FrameDriver(cfg, scene_path=duck_gltf_path)
+    drv.step()
+    drv.step(keys=[Keys.W, Keys.LEFT])
+    img = drv.readback()
+    assert img.shape == (128, 256, 3)
+    assert np.isfinite(img).all()
+    assert drv.frame_count == 2
+    assert "FPS" in drv.title()
+
+    # UI changes propagate to ECS resources -> next frame flags
+    drv.apply_ui_changes(UiChanges(use_pcss=False, gltf_scale=0.02))
+    drv.step()
+    ui = drv.ui_data()
+    assert ui.use_pcss is False
+    assert abs(ui.gltf_scale - 0.02) < 1e-9
+
+    # camera moved under keys
+    assert float(np.asarray(drv.camera.position[2])) != 10.0
