@@ -84,8 +84,8 @@ def test_ui_panel_and_hits():
     img = jnp.full((200, 320, 4), 0.3, jnp.float32)
     out = np.asarray(dp.render_over(img, data))
     assert out.shape == (200, 320, 4)
-    # panel darkens its region, leaves the rest
-    assert abs(out[-1, -1, 0] - 0.3) < 1e-5
+    # panel darkens its region, leaves the margin above/left of its origin
+    assert abs(out[5, 5, 0] - 0.3) < 1e-5
     assert out[20, 40, 0] != 0.3
 
     # checkbox hit toggles; slider hit sets values in range
