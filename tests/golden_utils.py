@@ -1,0 +1,104 @@
+"""Shared golden-image render configs (used by tests and regeneration).
+
+Run `python tests/golden_utils.py` to (re)generate tests/goldens/*.png.
+Goldens are sRGB-encoded u8 PNGs rendered on the CPU backend; tests
+compare with a small tolerance to absorb fp-reorder differences.
+"""
+
+import os
+import pathlib
+import sys
+
+if __name__ == "__main__":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+GOLDEN_DIR = pathlib.Path(__file__).resolve().parent / "goldens"
+DUCK = pathlib.Path("/root/reference/models/scene.gltf")
+
+
+def render_cube():
+    import jax.numpy as jnp
+
+    from funky_tpu.frame import (FrameConfig, compiled_cube_frame,
+                                 default_cube_params)
+    from funky_tpu.models.scene import build_cube_scene
+    from funky_tpu.ops.raster import RasterConfig
+
+    cfg = FrameConfig(width=128, height=128,
+                      raster=RasterConfig(tile_h=16, tile_w=128,
+                                          capacity=32, backend="jnp"))
+    img = compiled_cube_frame(cfg)(build_cube_scene(),
+                                   default_cube_params(rotation=0.6))
+    return np.asarray(img[..., :3])
+
+
+def _duck_frame(flags=None, frames=2):
+    from funky_tpu.frame import (GltfConfig, GltfFrameFlags,
+                                 compiled_gltf_frame, default_gltf_params,
+                                 init_frame_state)
+    from funky_tpu.models.gltf import GltfScene
+    from funky_tpu.models.scene import build_device_scene
+    from funky_tpu.ops.raster import RasterConfig
+
+    duck = GltfScene.load(DUCK)
+    scene = build_device_scene(duck)
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=4352, backend="jnp")
+    cfg = GltfConfig(width=256, height=144, shadow_map_size=256,
+                     raster=tile, shadow_raster=tile,
+                     flags=flags or GltfFrameFlags())
+    params = default_gltf_params(gltf_min_y=float(duck.bounds_min[1]))
+    frame = compiled_gltf_frame(cfg)
+    state = init_frame_state(cfg)
+    for _ in range(frames):
+        rgba, state = frame(scene, params, state)
+    return np.asarray(rgba[..., :3])
+
+
+def render_duck():
+    return _duck_frame()
+
+
+def render_duck_cascades():
+    from funky_tpu.frame import GltfFrameFlags
+
+    return _duck_frame(GltfFrameFlags(debug_cascades=True))
+
+
+def render_sdf():
+    from funky_tpu.models.sdf import (SdfConfig, compiled_sdf_frame,
+                                      default_sdf_camera)
+
+    cfg = SdfConfig(width=160, height=96)
+    pos, yaw, pitch, fov = default_sdf_camera()
+    img = compiled_sdf_frame(cfg)(1.0, pos, yaw, pitch, fov)
+    return np.asarray(img[..., :3])
+
+
+GOLDENS = {
+    "cube_r06_128.png": render_cube,
+    "duck_shadows_256x144.png": render_duck,
+    "duck_cascade_debug_256x144.png": render_duck_cascades,
+    "sdf_t1_160x96.png": render_sdf,
+}
+
+
+def generate():
+    from funky_tpu.models.png_io import linear_to_srgb, write_png
+
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    for name, fn in GOLDENS.items():
+        img = np.asarray(linear_to_srgb(fn()))
+        write_png(GOLDEN_DIR / name, img)
+        print("wrote", name, img.shape)
+
+
+if __name__ == "__main__":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    generate()
