@@ -194,6 +194,38 @@ class FrameDriver:
     def save_png(self, path: str | Path) -> None:
         write_png(path, self.readback())
 
+    # -- checkpoint / resume ----------------------------------------------------
+    # The reference has no persistence (SURVEY.md section 5: its only state
+    # is GPU-resident TAA history). Here ALL state is a plain pytree +
+    # dataclasses, so session save/load is trivial.
+    def save_state(self, path: str | Path) -> None:
+        import pickle
+
+        data = {
+            "camera": self.camera,
+            "scene_objects": self.world.resource(ecs.SceneObjects),
+            "shadow_settings": self.world.resource(ecs.ShadowSettings),
+            "frame_state": [np.asarray(x) for x in self.state],
+            "frame_count": self.frame_count,
+            "ui_visible": self.ui_visible,
+        }
+        Path(path).write_bytes(pickle.dumps(data))
+
+    def load_state(self, path: str | Path) -> None:
+        import pickle
+
+        import jax.numpy as jnp
+
+        data = pickle.loads(Path(path).read_bytes())
+        self.camera = data["camera"]
+        self.world.insert_resource(data["scene_objects"])
+        self.world.insert_resource(data["shadow_settings"])
+        self.state = FrameState(*(jnp.asarray(x)
+                                  for x in data["frame_state"]))
+        self.frame_count = data["frame_count"]
+        self.ui_visible = data["ui_visible"]
+        self._sync_flags()
+
     def title(self) -> str:
         """Window-title string (main.rs:351-360)."""
         return (f"Funky Renderer | FPS: {self.fps.fps:.1f} | "

@@ -123,3 +123,25 @@ def test_driver_end_to_end(duck_gltf_path):
 
     # camera moved under keys
     assert float(np.asarray(drv.camera.position[2])) != 10.0
+
+
+def test_driver_save_load_state(duck_gltf_path, tmp_path):
+    """Checkpoint/resume: saved session state restores bit-exact frames."""
+    from funky_tpu.app.driver import FrameDriver
+    from funky_tpu.app.camera import Keys
+    from funky_tpu.frame import GltfConfig
+    from funky_tpu.ops.raster import RasterConfig
+
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=512, backend="jnp")
+    cfg = GltfConfig(width=256, height=128, shadow_map_size=128,
+                     raster=tile, shadow_raster=tile)
+    a = FrameDriver(cfg, scene_path=duck_gltf_path)
+    a.step(keys=[Keys.W])
+    a.step(keys=[Keys.LEFT])
+    a.save_state(tmp_path / "session.ckpt")
+    img_next_a = np.asarray(a.step())
+
+    b = FrameDriver(cfg, scene_path=duck_gltf_path)
+    b.load_state(tmp_path / "session.ckpt")
+    img_next_b = np.asarray(b.step())
+    np.testing.assert_array_equal(img_next_a, img_next_b)
