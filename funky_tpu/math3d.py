@@ -225,9 +225,8 @@ def transform_point(m, p):
 def transform_homogeneous(m, p):
     """Apply a 4x4 to (..., 3) points, returning (..., 4) clip coords."""
     p = jnp.asarray(p, jnp.float32)
-    return p @ m[:3, :3].T + m[:3, 3] if False else (
-        jnp.concatenate([p, jnp.ones(p.shape[:-1] + (1,), p.dtype)], axis=-1)
-        @ m.T)
+    ones = jnp.ones(p.shape[:-1] + (1,), p.dtype)
+    return jnp.concatenate([p, ones], axis=-1) @ m.T
 
 
 def transform_vector(m, v):

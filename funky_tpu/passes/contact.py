@@ -31,8 +31,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.sampling import (quad_pack, sample_bilinear_edge,
-                            sample_depth_dual_packed, sample_nearest_edge)
+from ..ops.sampling import quad_pack, sample_depth_dual_packed
 from .shadow_filter import interleaved_gradient_noise
 from .uniforms import FrameUniforms
 

@@ -20,8 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..models.scene import FLAG_USE_TEXTURE
-from ..ops.sampling import (quad_pack_nhwc, sample_bilinear_repeat,
-                            sample_bilinear_repeat_packed)
+from ..ops.sampling import quad_pack_nhwc, sample_bilinear_repeat_packed
 from .deferred import GBuffer
 
 _FILL_DIR = (-0.5, 0.3, -0.8)

@@ -18,9 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import (sample_bilinear_border_array,
-                            sample_bilinear_border_packed,
-                            sample_shadow_compare_array,
+from ..ops.sampling import (sample_bilinear_border_packed,
                             sample_shadow_compare_packed)
 from .uniforms import FrameUniforms
 
