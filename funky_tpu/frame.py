@@ -353,8 +353,11 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
         shadow_maps = shadow.render_shadow_maps(
             world_v, scene.tri_indices, scene.num_triangles,
             uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
-        # quad-pack once (dense shifts) so every filter tap is ONE gather
-        shadow_maps = jax.vmap(quad_pack)(shadow_maps)   # (4, S, S, 4)
+        # quad-pack once (dense shifts) so every filter tap is ONE gather.
+        # The barrier forces materialization: without it XLA fuses the
+        # packing rolls into every tap's gather (3x slower taps).
+        shadow_maps = jax.lax.optimization_barrier(
+            jax.vmap(quad_pack)(shadow_maps))            # (4, S, S, 4)
     else:
         shadow_maps = None
 

@@ -82,7 +82,8 @@ def sharded_gltf_frame(mesh: Mesh, cfg: GltfConfig):
                 local_sm, ROWS_AXIS, axis=1, tiled=True)  # (4, S, S)
             from ..ops.sampling import quad_pack
 
-            shadow_maps = jax.vmap(quad_pack)(shadow_maps)
+            shadow_maps = jax.lax.optimization_barrier(
+                jax.vmap(quad_pack)(shadow_maps))
         else:
             shadow_maps = None
 

@@ -77,7 +77,10 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
     row slab at global row y0; prev_depth is always full-frame (rays can
     cross slab boundaries)."""
     h, w = world.shape[:2]
-    depth_packed = quad_pack(prev_depth)
+    # barrier: keep the packing rolls out of the probes' gather fusions
+    import jax
+
+    depth_packed = jax.lax.optimization_barrier(quad_pack(prev_depth))
     light_dir = uni.light_dir
 
     n_dot_l = jnp.sum(normal * light_dir, axis=-1)

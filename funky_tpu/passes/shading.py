@@ -71,9 +71,12 @@ def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray, camera_pos: jnp.ndarray,
     Returns (H, W, 4) linear RGBA.
     """
     use_texture = (gbuf.flags & FLAG_USE_TEXTURE) != 0
-    # Quad-packed bilinear: one gathered row per pixel instead of four
-    # (XLA TPU gather cost is per ROW, ~independent of width).
-    tex = sample_bilinear_repeat_packed(quad_pack_nhwc(texture), gbuf.uv)
+    # Quad-packed bilinear: one gathered row per pixel instead of four.
+    # The barrier keeps the packing rolls from fusing into the gather.
+    import jax
+
+    tex_packed = jax.lax.optimization_barrier(quad_pack_nhwc(texture))
+    tex = sample_bilinear_repeat_packed(tex_packed, gbuf.uv)
     tex = jnp.where(use_texture[..., None], tex, 1.0)
 
     normal = _normalize(gbuf.normal)
