@@ -143,12 +143,14 @@ class GltfConfig:
     width: int = 1920
     height: int = 1080
     shadow_map_size: int = uniforms.SHADOW_MAP_SIZE
+    # capacity=None (auto: full triangle count) is the SAFE default —
+    # an undersized bin silently drops triangles from that tile (e.g. the
+    # whole model vanishing from a shadow cascade). Tighten per scene for
+    # DMA savings only with verified headroom.
     raster: RasterConfig = dataclasses.field(
-        default_factory=lambda: RasterConfig(tile_h=32, tile_w=128,
-                                             capacity=1280))
+        default_factory=lambda: RasterConfig(tile_h=32, tile_w=128))
     shadow_raster: RasterConfig = dataclasses.field(
-        default_factory=lambda: RasterConfig(tile_h=128, tile_w=128,
-                                             capacity=2048))
+        default_factory=lambda: RasterConfig(tile_h=128, tile_w=128))
     flags: GltfFrameFlags = dataclasses.field(default_factory=GltfFrameFlags)
 
     @property

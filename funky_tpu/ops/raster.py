@@ -36,11 +36,21 @@ import jax.numpy as jnp
 class RasterConfig:
     tile_h: int = 32
     tile_w: int = 128
-    capacity: int = 256
+    # Per-tile bin capacity. None (default) = the full padded triangle
+    # count: always correct, at the cost of capacity-sized per-tile DMA.
+    # Tuned configs may set a tight value, but an overflowing bin DROPS
+    # triangles (they vanish from that tile) — verify against
+    # binning counts before tightening.
+    capacity: int | None = None
     backend: str = "auto"   # "jnp" | "pallas" | "auto" (pallas on TPU)
 
     def tiles(self, width: int, height: int) -> Tuple[int, int]:
         return -(-height // self.tile_h), -(-width // self.tile_w)
+
+    def resolve_capacity(self, padded_tris: int) -> int:
+        if self.capacity is None:
+            return padded_tris
+        return self.capacity
 
 
 def _backend(cfg: RasterConfig) -> str:
@@ -92,9 +102,10 @@ def raster_scene(clip: jnp.ndarray, tri_indices: jnp.ndarray,
     from .binning import bin_triangles, gather_bin_data, triangle_setup
 
     sh = height if slice_height is None else slice_height
+    capacity = cfg.resolve_capacity(tri_indices.shape[0])
     setup = triangle_setup(clip, tri_indices, width, height, num_triangles)
     bins, counts = bin_triangles(setup, width, sh,
-                                 cfg.tile_h, cfg.tile_w, cfg.capacity,
+                                 cfg.tile_h, cfg.tile_w, capacity,
                                  y_offset)
     bin_data = gather_bin_data(setup, bins)
     tri_id, depth = rasterize(bin_data, bins, counts, width, sh, cfg,

@@ -93,3 +93,29 @@ def test_half_res_close_to_full(setup):
     diff = np.abs(full - half).max(-1)
     assert diff.mean() < 0.02
     assert (diff > 0.15).mean() < 0.03
+
+
+def test_cast_shadow_present_with_auto_capacity(setup):
+    """Regression: an undersized shadow bin capacity silently dropped the
+    whole model from the cascade maps (no cast shadow). With the auto
+    (None = full triangle count) capacity the duck's soft shadow must
+    darken the ground just left of it (light (0.5,1,0.3): shadow falls
+    toward -x/-z)."""
+    scene, cfg, params = setup
+    cfg = dataclasses.replace(
+        cfg, shadow_map_size=1024,
+        raster=RasterConfig(tile_h=16, tile_w=128, backend="jnp"),
+        shadow_raster=RasterConfig(tile_h=64, tile_w=128, backend="jnp"),
+        flags=GltfFrameFlags(use_shadow_taa=False,
+                             enable_contact_shadows=False))
+    lit_cfg = dataclasses.replace(cfg, flags=GltfFrameFlags(
+        enable_shadows=False, enable_contact_shadows=False,
+        use_shadow_taa=False))
+    shadowed = _run(scene, cfg, params)
+    lit = _run(scene, lit_cfg, params)
+    diff = (lit[..., :3] - shadowed[..., :3]).max(-1)
+    # The scene is 256x128: the duck sits near the center (~col 128-150,
+    # rows ~60-75); its shadow lands in the rows just below-left.
+    shadow_zone = diff[68:85, 95:130]
+    assert shadow_zone.max() > 0.1, (
+        f"no cast shadow found (zone max {shadow_zone.max():.4f})")
