@@ -53,6 +53,59 @@ def main():
 
     cfg = GltfConfig()  # 1920x1080, 4x2048^2 cascades, PCSS+TAA+contact
     params = default_gltf_params(gltf_min_y=gltf_min_y)
+
+    # Tune bin capacities for THIS scene+view with measured headroom
+    # (capacity-sized per-tile DMA is pure overhead above the real
+    # occupancy; undersizing silently drops triangles, so verify first).
+    try:
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from funky_tpu.frame import compute_frame_uniforms
+        from funky_tpu.ops.binning import bin_stats
+        from funky_tpu.passes.geometry import transform_vertices
+
+        @jax.jit
+        def occupancy(scene, params, st0):
+            uni = compute_frame_uniforms(params, st0, cfg)
+            world, clip, _ = transform_vertices(scene, uni.models,
+                                                uni.view_proj)
+            main = bin_stats(clip, scene.tri_indices, cfg.width, cfg.height,
+                             cfg.raster.tile_h, cfg.raster.tile_w,
+                             scene.num_triangles)["max"]
+            ones = jnp.ones((world.shape[0], 1), jnp.float32)
+            world_h = jnp.concatenate([world, ones], axis=-1)
+            sm = jnp.zeros((), jnp.int32)
+            for c in range(4):
+                clip_c = world_h @ uni.light_view_proj[c].T
+                sm = jnp.maximum(sm, bin_stats(
+                    clip_c, scene.tri_indices, cfg.shadow_map_size,
+                    cfg.shadow_map_size, cfg.shadow_raster.tile_h,
+                    cfg.shadow_raster.tile_w, scene.num_triangles)["max"])
+            return main, sm
+
+        main_max, sm_max = map(int, occupancy(scene, params,
+                                              init_frame_state(cfg)))
+
+        def cap(max_count):
+            if max_count <= 0:
+                return None  # fall back to always-correct auto sizing
+            return min(-(-int(max_count * 1.5) // 128) * 128,
+                       scene.tri_indices.shape[0])
+
+        cfg = dataclasses.replace(
+            cfg,
+            raster=dataclasses.replace(cfg.raster, capacity=cap(main_max)),
+            shadow_raster=dataclasses.replace(cfg.shadow_raster,
+                                              capacity=cap(sm_max)))
+        print(f"# tuned capacities: main {cfg.raster.capacity} "
+              f"(max {main_max}), shadow {cfg.shadow_raster.capacity} "
+              f"(max {sm_max})", file=sys.stderr)
+    except Exception as e:
+        print(f"# capacity tuning failed ({e}); using auto", file=sys.stderr)
+
     state = init_frame_state(cfg)
     frame = compiled_gltf_frame(cfg)
 

@@ -35,3 +35,12 @@ funky_tpu.frame        composed frame functions + compile cache
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU matmuls default to bf16 operand precision; a renderer cannot afford
+# that (e.g. inverse-projected far-plane frustum corners cancel 10 - 9.99
+# to exactly 0 in bf16 => NaN cascades; vertex positions jitter by whole
+# units). Geometry math is tiny next to the gather-bound passes, so force
+# full f32 everywhere.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -253,19 +253,27 @@ def perspective_inverse(proj):
 
     Inverting the *composite* view-proj numerically (as the reference does,
     gltf_renderer.rs:1842) catastrophically cancels the far-plane corners'
-    w to exactly 0 in f32; splitting the inverse keeps w = 1/far exact.
+    w to exactly 0 in f32. Even the per-entry form w' = z/d + c/d cancels
+    on TPU (its reciprocal-based division rounds 1/d and c/d so the far
+    plane's 1/d + c/d hits exactly 0). Recovering near/far and writing the
+    w row as w'(z) = 1/near + z*(1/far - 1/near) is cancellation-free:
+    w'(1) = 1/far exactly.
     """
     a = proj[0, 0]
     b = proj[1, 1]
     c = proj[2, 2]
     d = proj[2, 3]
+    near = d / c                 # d = c*near (see perspective_rh)
+    far = d / (c + 1.0)          # c = far/(near-far) => c+1 = near/(near-far)
+    inv_near = 1.0 / near
+    inv_far = 1.0 / far
     zero = jnp.zeros((), jnp.float32)
     one = jnp.ones((), jnp.float32)
     return jnp.stack([
         jnp.stack([1.0 / a, zero, zero, zero]),
         jnp.stack([zero, 1.0 / b, zero, zero]),
         jnp.stack([zero, zero, zero, -one]),
-        jnp.stack([zero, zero, 1.0 / d, c / d]),
+        jnp.stack([zero, zero, inv_far - inv_near, inv_near]),
     ])
 
 

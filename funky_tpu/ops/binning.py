@@ -186,6 +186,28 @@ def bin_triangles(setup: TriangleSetup, width: int, height: int,
     return bins, counts
 
 
+def bin_stats(clip: jnp.ndarray, tri_indices: jnp.ndarray, width: int,
+              height: int, tile_h: int, tile_w: int,
+              num_triangles: int | None = None):
+    """Diagnostic: per-tile occupancy for a given view — use to verify a
+    hand-tuned RasterConfig.capacity has headroom (an overflowing bin
+    silently DROPS triangles; see RasterConfig.capacity).
+
+    Returns dict(max, mean, total, n_tiles) of bin occupancies.
+    """
+    setup = triangle_setup(clip, tri_indices, width, height, num_triangles)
+    t = setup.data.shape[0]
+    _, counts = bin_triangles(setup, width, height, tile_h, tile_w,
+                              capacity=t)
+    # jnp values (jit-friendly); callers int()/float() outside of traces.
+    return {
+        "max": counts.max(),
+        "mean": counts.mean(),
+        "total": counts.sum(),
+        "n_tiles": counts.shape[0],
+    }
+
+
 def gather_bin_data(setup: TriangleSetup, bins: jnp.ndarray) -> jnp.ndarray:
     """Pre-gather raster data per bin entry: (n_tiles, C, 16).
 

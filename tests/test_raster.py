@@ -186,3 +186,23 @@ def test_binning_lists():
     ids = np.asarray(data[..., 12]).view(np.int32)
     assert ids[1, 0] == 0 and ids[3, 0] == 0
     assert ids[0, 0] == -1
+
+
+def test_bin_stats_and_overflow_detection():
+    """bin_stats reports occupancy; a capacity below `max` would drop
+    triangles (the shadow-map regression class)."""
+    from funky_tpu.ops.binning import bin_stats
+
+    width = height = 16
+    n = 6
+    clips, tris = [], []
+    for i in range(n):
+        base = 3 * i
+        clips.extend([[2, 2], [14, 2], [2, 14]])
+        tris.append([base, base + 1, base + 2])
+    clip = clip_from_screen(np.asarray(clips, np.float32), width, height)
+    stats = bin_stats(clip, jnp.asarray(tris, jnp.int32), width, height,
+                      8, 128, n)
+    assert stats["max"] == n          # all triangles share each tile
+    assert stats["n_tiles"] == 2
+    assert stats["total"] == 2 * n    # the tris span both 8-row tiles
