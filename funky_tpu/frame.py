@@ -131,10 +131,16 @@ class GltfFrameFlags:
     enable_shadows: bool = True
     enable_contact_shadows: bool = True
     # Performance mode (not in the reference): evaluate the shadow filter
-    # + contact march on a half-resolution grid and bilinearly upsample.
-    # TPU shadow cost is gather-row-bound, so this is ~4x cheaper; edges
-    # soften slightly. Default off = exact reference sampling rates.
+    # + contact march on a 1/scale-resolution grid and bilinearly upsample
+    # (scale in {1, 2, 4}). TPU shadow cost is gather-row-bound, so cost
+    # drops ~scale^2; edges soften accordingly. half_res_shadows is kept
+    # as a bool alias for scale=2. Default = exact reference rates.
     half_res_shadows: bool = False
+    shadow_eval_scale: int = 1
+
+    @property
+    def effective_shadow_scale(self) -> int:
+        return max(self.shadow_eval_scale, 2 if self.half_res_shadows else 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -282,8 +288,9 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
     def _upsample(a):
         return jax.image.resize(a, (h, w) + a.shape[2:], method="linear")
 
-    if flags.enable_shadows and flags.half_res_shadows:
-        sub = lambda a: a[::2, ::2]  # noqa: E731
+    scale = flags.effective_shadow_scale
+    if flags.enable_shadows and scale > 1:
+        sub = lambda a: a[::scale, ::scale]  # noqa: E731
         sres_h, _, _, _ = shadow_filter.cascaded_shadow(
             uni, shadow_maps, sub(gbuf.world), sub(normal), sub(n_dot_l),
             sub(view_depth), sub(frag), flags.use_pcss)
@@ -307,8 +314,7 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
         sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa,
         y0, cfg.height)
 
-    if flags.enable_contact_shadows and flags.half_res_shadows:
-        sub = lambda a: a[::2, ::2]  # noqa: E731
+    if flags.enable_contact_shadows and scale > 1:
         ct_half = contact.compute_contact_shadow(
             sub(gbuf.world), sub(normal), uni, state.prev_depth, y0)
         shadow_term = jnp.minimum(shadow_term, _upsample(ct_half))

@@ -119,3 +119,13 @@ def test_cast_shadow_present_with_auto_capacity(setup):
     shadow_zone = diff[68:85, 95:130]
     assert shadow_zone.max() > 0.1, (
         f"no cast shadow found (zone max {shadow_zone.max():.4f})")
+
+
+def test_quarter_res_shadow_scale(setup):
+    scene, cfg, params = setup
+    cfg = dataclasses.replace(
+        cfg, shadow_map_size=512,
+        flags=GltfFrameFlags(shadow_eval_scale=4))
+    img = _run(scene, cfg, params)
+    assert np.isfinite(img).all()
+    np.testing.assert_allclose(img[0, 0, :3], [0.53, 0.81, 0.92], atol=1e-5)
