@@ -107,6 +107,17 @@ def raster_scene(clip: jnp.ndarray, tri_indices: jnp.ndarray,
     bins, counts = bin_triangles(setup, width, sh,
                                  cfg.tile_h, cfg.tile_w, capacity,
                                  y_offset)
+
+    if _backend(cfg) == "pallas":
+        from .raster_pallas import TABLE_VMEM_LIMIT, rasterize_pallas_table
+
+        if setup.data.shape[0] * 64 <= TABLE_VMEM_LIMIT:
+            # table-resident kernel: per-tile DMA is just the id list
+            # (no capacity x 64B pre-gathered blocks)
+            tri_id, depth = rasterize_pallas_table(
+                setup.data, bins, counts, width, sh, cfg, y_offset)
+            return tri_id, depth, setup
+
     bin_data = gather_bin_data(setup, bins)
     tri_id, depth = rasterize(bin_data, bins, counts, width, sh, cfg,
                               y_offset)

@@ -123,3 +123,115 @@ def rasterize_pallas(bin_data: jnp.ndarray, bins: jnp.ndarray,
     depth = (z_tiles.reshape(tiles_y, tiles_x, th, tw)
              .transpose(0, 2, 1, 3).reshape(tiles_y * th, tiles_x * tw))
     return tri_id[:height, :width], depth[:height, :width]
+
+
+# ---------------------------------------------------------------------------
+# Table-resident variant: instead of pre-gathering capacity-sized per-tile
+# row blocks (per-tile DMA = capacity x 64B whether the tile is empty or
+# not — 100s of MB/frame at auto capacity), keep the ENTIRE (T, 16) setup
+# table in VMEM (64B per triangle; the Duck scene is 287 KB) and have each
+# tile index it directly through its bin-id list (sublane-dynamic reads).
+# Per-tile DMA shrinks to the id list (capacity x 4B). Falls back to the
+# pre-gather kernel above when the table exceeds the VMEM budget.
+# ---------------------------------------------------------------------------
+
+TABLE_VMEM_LIMIT = 4 * 1024 * 1024  # bytes of VMEM we allow for the table
+
+
+def _raster_table_kernel(offset_ref, counts_ref, table_ref, ids_ref,
+                         id_out, z_out,
+                         *, tile_h: int, tile_w: int, tiles_x: int):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+
+    ty = t // tiles_x
+    tx = t % tiles_x
+    base_y = (ty * tile_h + offset_ref[0]).astype(jnp.float32)
+    base_x = (tx * tile_w).astype(jnp.float32)
+
+    py = (base_y + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32))
+    px = (base_x + 0.5 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32))
+
+    def body(i, carry):
+        zbuf, idbuf = carry
+        tid = ids_ref[0, i, 0]                  # sublane-dynamic scalar
+        d = table_ref[tid]                      # (16,) row straight from
+        b0 = d[0] * px + d[1] * py + d[2]       # the VMEM-resident table
+        b1 = d[3] * px + d[4] * py + d[5]
+        b2 = d[6] * px + d[7] * py + d[8]
+        z = d[9] * px + d[10] * py + d[11]
+        cover = ((b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0)
+                 & (z >= 0.0) & (z < zbuf))
+        return jnp.where(cover, z, zbuf), jnp.where(cover, tid, idbuf)
+
+    z_init = jnp.ones((tile_h, tile_w), jnp.float32)
+    id_init = jnp.full((tile_h, tile_w), -1, jnp.int32)
+    z_final, id_final = jax.lax.fori_loop(0, count, body, (z_init, id_init))
+    id_out[0] = id_final
+    z_out[0] = z_final
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _rasterize_pallas_table(setup_data, bins, counts, y_offset, tile_h,
+                            tile_w, tiles_y, tiles_x):
+    n_tiles, capacity = bins.shape
+    t_rows = setup_data.shape[0]
+
+    kernel = functools.partial(_raster_table_kernel, tile_h=tile_h,
+                               tile_w=tile_w, tiles_x=tiles_x)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            # the whole table, same block every step: stays VMEM-resident
+            pl.BlockSpec((t_rows, 16), lambda i, o, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, capacity, 1), lambda i, o, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, o, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, tile_w), lambda i, o, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    id_tiles, z_tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_tiles * capacity * tile_h * tile_w * 16,
+            bytes_accessed=setup_data.size * 4 + bins.size * 4
+            + 2 * n_tiles * tile_h * tile_w * 4,
+            transcendentals=0,
+        ),
+    )(y_offset.reshape(1), counts, setup_data,
+      jnp.maximum(bins, 0)[:, :, None])
+    return id_tiles, z_tiles
+
+
+def rasterize_pallas_table(setup_data: jnp.ndarray, bins: jnp.ndarray,
+                           counts: jnp.ndarray, width: int, height: int,
+                           cfg, y_offset=0):
+    """Table-resident raster: avoids the per-tile pre-gathered row blocks.
+
+    setup_data: (T, 16) triangle setup rows (from triangle_setup).
+    """
+    th, tw = cfg.tile_h, cfg.tile_w
+    tiles_y, tiles_x = cfg.tiles(width, height)
+    id_tiles, z_tiles = _rasterize_pallas_table(
+        setup_data, bins, counts, jnp.asarray(y_offset, jnp.int32),
+        th, tw, tiles_y, tiles_x)
+    tri_id = (id_tiles.reshape(tiles_y, tiles_x, th, tw)
+              .transpose(0, 2, 1, 3).reshape(tiles_y * th, tiles_x * tw))
+    depth = (z_tiles.reshape(tiles_y, tiles_x, th, tw)
+             .transpose(0, 2, 1, 3).reshape(tiles_y * th, tiles_x * tw))
+    return tri_id[:height, :width], depth[:height, :width]
