@@ -20,7 +20,6 @@ frames-in-flight, swapchain present) into App::render_frame. Here:
 from __future__ import annotations
 
 import dataclasses
-import time
 from pathlib import Path
 from typing import Iterable, Optional
 

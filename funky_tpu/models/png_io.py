@@ -16,7 +16,6 @@ from __future__ import annotations
 import struct
 import zlib
 from pathlib import Path
-from typing import Tuple
 
 import numpy as np
 

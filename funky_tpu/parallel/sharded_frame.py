@@ -19,8 +19,6 @@ Vulkan pipeline barriers + a single GPU's hardware scheduler.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +28,7 @@ from ..frame import (FrameState, GltfConfig, GltfParams,
                      compute_frame_uniforms, shade_slab)
 from ..models.scene import DeviceScene
 from ..ops.raster import raster_scene
-from ..passes import geometry, shadow
+from ..passes import geometry
 from .mesh import ROWS_AXIS
 
 
