@@ -24,6 +24,7 @@ from pathlib import Path
 from typing import Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import ecs
@@ -79,8 +80,6 @@ class FrameDriver:
 
     # -- params assembly (main.rs:680-714) ------------------------------------
     def _params(self) -> GltfParams:
-        import jax.numpy as jnp
-
         objects = self.world.resource(ecs.SceneObjects)
         shadows = self.world.resource(ecs.ShadowSettings)
         duck_y = -objects.gltf_min_y * objects.gltf_scale + 0.001
@@ -212,8 +211,6 @@ class FrameDriver:
 
     def load_state(self, path: str | Path) -> None:
         import pickle
-
-        import jax.numpy as jnp
 
         data = pickle.loads(Path(path).read_bytes())
         self.camera = data["camera"]

@@ -29,6 +29,7 @@ own comment), with the depth-thickness test in real world units.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import quad_pack, sample_depth_dual_packed
@@ -78,8 +79,6 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
     cross slab boundaries)."""
     h, w = world.shape[:2]
     # barrier: keep the packing rolls out of the probes' gather fusions
-    import jax
-
     depth_packed = jax.lax.optimization_barrier(quad_pack(prev_depth))
     light_dir = uni.light_dir
 

@@ -17,6 +17,7 @@ Parity notes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..models.scene import FLAG_USE_TEXTURE
@@ -73,8 +74,6 @@ def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray, camera_pos: jnp.ndarray,
     use_texture = (gbuf.flags & FLAG_USE_TEXTURE) != 0
     # Quad-packed bilinear: one gathered row per pixel instead of four.
     # The barrier keeps the packing rolls from fusing into the gather.
-    import jax
-
     tex_packed = jax.lax.optimization_barrier(quad_pack_nhwc(texture))
     tex = sample_bilinear_repeat_packed(tex_packed, gbuf.uv)
     tex = jnp.where(use_texture[..., None], tex, 1.0)

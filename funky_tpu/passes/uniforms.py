@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .. import math3d as m3
@@ -136,8 +137,6 @@ def fit_cascades(view: jnp.ndarray, proj: jnp.ndarray,
         light_proj = m3.orthographic_rh(left, right, bottom, top,
                                         near_dist, far_dist)
         return light_proj @ light_view
-
-    import jax
 
     return jax.vmap(fit_one)(prev_splits, splits)
 
