@@ -77,6 +77,12 @@ class FrameDriver:
         self.ui = DebugPanel(cfg.width, cfg.height) if enable_ui else None
         self.ui_visible = True
         self.frame_count = 0
+        # Failure tracking: one bad frame is skipped (the reference
+        # early-returns per error branch, main.rs:601-667), but persistent
+        # failure re-raises instead of looping silently forever.
+        self.consecutive_failures = 0
+        self.max_consecutive_failures = 3
+        self.last_error = ""
 
     # -- params assembly (main.rs:680-714) ------------------------------------
     def _params(self) -> GltfParams:
@@ -122,9 +128,16 @@ class FrameDriver:
             image, self.state = self._frame_fn(
                 self.device_scene, params, self.state)
         except Exception as e:  # keep the loop alive (main.rs:601-613)
-            print(f"frame {self.frame_count} failed: {e}")
+            self.consecutive_failures += 1
+            self.last_error = f"frame {self.frame_count}: {e}"
+            print(f"frame {self.frame_count} failed "
+                  f"({self.consecutive_failures} consecutive): {e}")
+            if self.consecutive_failures >= self.max_consecutive_failures:
+                raise
             self.state = init_frame_state(self.cfg)
             return self._last_image
+        self.consecutive_failures = 0
+        self.last_error = ""
         self._last_image = image
         self.frame_count += 1
         self.fps.tick()
@@ -172,6 +185,7 @@ class FrameDriver:
             entity_count=self.world.entity_count(),
             component_count=self.world.component_count(),
             gpu_info=device_info(),
+            last_error=self.last_error,
         )
 
     def apply_ui_changes(self, changes: UiChanges) -> None:

@@ -48,6 +48,7 @@ class UiData:
     entity_count: int = 0
     component_count: int = 0
     gpu_info: str = ""
+    last_error: str = ""   # most recent frame failure ("" = healthy)
 
 
 @dataclasses.dataclass
@@ -107,6 +108,11 @@ class Tessellator:
         self.uvs: List[Tuple[float, float]] = []
         self.colors: List[Tuple[float, float, float, float]] = []
         self.tris: List[Tuple[int, int, int]] = []
+        # Widget hit boxes (panel-relative px), filled by build_panel.
+        # Instance state so concurrent panels/drivers don't clobber each
+        # other's layouts.
+        self.checkboxes: dict = {}
+        self.sliders: dict = {}
         atlas, self.uvmap, self.gw, self.gh = build_font_atlas()
         self.atlas = atlas
         ah, aw = atlas.shape[:2]
@@ -166,10 +172,6 @@ class Tessellator:
         return verts, uvs, cols, tris, np.int32(nt)
 
 
-# Widget hit boxes (panel-relative), filled during build
-_CHECKBOXES = {}
-_SLIDERS = {}
-
 _BG = (0.1, 0.1, 0.12, 0.9)
 _TITLE = (0.25, 0.3, 0.5, 1.0)
 _TEXT = (0.92, 0.92, 0.92, 1.0)
@@ -180,8 +182,6 @@ _TRACK = (0.3, 0.3, 0.35, 1.0)
 def build_panel(data: UiData) -> Tessellator:
     """The debug window layout (egui_integration.rs:97-211)."""
     t = Tessellator()
-    _CHECKBOXES.clear()
-    _SLIDERS.clear()
 
     t.rect(0, 0, PANEL_W, PANEL_H, _BG)
     t.rect(0, 0, PANEL_W, 18, _TITLE)
@@ -201,7 +201,7 @@ def build_panel(data: UiData) -> Tessellator:
     frac = (math.log(max(data.gltf_scale, 1e-4)) - lo) / (hi - lo)
     frac = min(max(frac, 0.0), 1.0)
     t.rect(6 + frac * 196, sy, 8, 10, _ACCENT)
-    _SLIDERS["gltf_scale"] = (6, sy, 200, 10, "log", 0.001, 0.5)
+    t.sliders["gltf_scale"] = (6, sy, 200, 10, "log", 0.001, 0.5)
     y = sy + 16
 
     def checkbox(label, value, key, yy):
@@ -209,7 +209,7 @@ def build_panel(data: UiData) -> Tessellator:
         if value:
             t.rect(8, yy + 2, 8, 8, _ACCENT)
         t.text(24, yy, label, _TEXT)
-        _CHECKBOXES[key] = (6, yy, 12 + 8 * len(label) + 24, 13)
+        t.checkboxes[key] = (6, yy, 12 + 8 * len(label) + 24, 13)
         return yy + 17
 
     y = checkbox("Debug cascades", data.debug_cascades, "debug_cascades", y)
@@ -224,13 +224,17 @@ def build_panel(data: UiData) -> Tessellator:
     frac = (data.shadow_softness - 0.5) / (8.0 - 0.5)
     frac = min(max(frac, 0.0), 1.0)
     t.rect(6 + frac * 196, sy, 8, 10, _ACCENT)
-    _SLIDERS["shadow_softness"] = (6, sy, 200, 10, "lin", 0.5, 8.0)
+    t.sliders["shadow_softness"] = (6, sy, 200, 10, "lin", 0.5, 8.0)
     y = sy + 16
 
     t.text(6, y, f"Entities: {data.entity_count}  "
                  f"Components: {data.component_count}", _TEXT)
     y += 16
     t.text(6, y, data.gpu_info[:44], _TEXT)
+    if data.last_error:
+        y += 16
+        t.text(6, y, ("ERR: " + data.last_error)[:44],
+               (1.0, 0.35, 0.3, 1.0))
     return t
 
 
@@ -242,9 +246,16 @@ class DebugPanel:
         self.frame_height = frame_height
         atlas, _, _, _ = build_font_atlas()
         self.atlas = jnp.asarray(atlas)
+        # Last built layout's hit boxes (instance state; valid after the
+        # first render_over — hit() before any build is a documented no-op,
+        # matching egui consuming no events before its first frame).
+        self._checkboxes: dict = {}
+        self._sliders: dict = {}
 
     def render_over(self, image, data: UiData):
         tess = build_panel(data)
+        self._checkboxes = tess.checkboxes
+        self._sliders = tess.sliders
         verts, uvs, cols, tris, n = tess.arrays()
         overlay = rasterize_overlay(
             jnp.asarray(verts), jnp.asarray(uvs), jnp.asarray(cols),
@@ -264,12 +275,12 @@ class DebugPanel:
         """Click at frame coords -> widget interaction -> UiChanges."""
         lx, ly = x - PANEL_X, y - PANEL_Y
         changes = UiChanges()
-        for key, (cx, cy, cw, ch) in _CHECKBOXES.items():
+        for key, (cx, cy, cw, ch) in self._checkboxes.items():
             if cx <= lx <= cx + cw and cy <= ly <= cy + ch:
                 setattr(changes, key, not getattr(data, key))
                 return changes
         import math
-        for key, (sx, sy, sw, sh, mode, lo, hi) in _SLIDERS.items():
+        for key, (sx, sy, sw, sh, mode, lo, hi) in self._sliders.items():
             if sx <= lx <= sx + sw and sy - 2 <= ly <= sy + sh + 2:
                 frac = min(max((lx - sx) / sw, 0.0), 1.0)
                 if mode == "log":

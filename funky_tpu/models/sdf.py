@@ -205,7 +205,9 @@ def render_sdf_frame(time_s: jnp.ndarray, camera_pos: jnp.ndarray,
     horizon = jnp.asarray(SKY_HORIZON, jnp.float32)
     color = color * (1 - fog[..., None]) + horizon * fog[..., None]
 
-    sky_t = jnp.clip(-dirs[..., 1] * 2.0 + 0.5, 0.0, 1.0)
+    # zenith-dark gradient: SKY_TOP at up-facing rays, horizon color at
+    # and below the horizon
+    sky_t = jnp.clip(dirs[..., 1] * 2.0 + 0.5, 0.0, 1.0)
     sky = (jnp.asarray(SKY_TOP, jnp.float32) * sky_t[..., None]
            + horizon * (1 - sky_t[..., None]))
 

@@ -8,8 +8,8 @@ filter/address/compare configuration each binding uses:
 - binding 2 shadowMap (sampler2DArrayShadow): LINEAR + compare
   LESS_OR_EQUAL + CLAMP_TO_BORDER white (gltf_renderer.rs:806-819)
   — i.e. a hardware 2x2 PCF tap: four texel compares, bilinearly blended.
-- binding 3 shadowMapDepth (raw depth): LINEAR, CLAMP_TO_BORDER white
-  (gltf_renderer.rs:822-831).
+- binding 3 shadowMapDepth (raw depth, PCSS blocker search): NEAREST,
+  CLAMP_TO_BORDER white (gltf_renderer.rs:822-833).
 - bindings 6/7 sceneDepth linear/nearest: CLAMP_TO_EDGE
   (gltf_renderer.rs:835-858).
 
@@ -281,6 +281,39 @@ def sample_bilinear_border_packed(packed_maps: jnp.ndarray,
     top = t00 * (1 - fx) + t10 * fx
     bot = t01 * (1 - fx) + t11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def sample_nearest_border_packed(packed_maps: jnp.ndarray,
+                                 layer: jnp.ndarray, uv: jnp.ndarray,
+                                 border: float = 1.0) -> jnp.ndarray:
+    """Raw-depth NEAREST + CLAMP_TO_BORDER tap (the PCSS blocker-search
+    sampler, binding 3: gltf_renderer.rs:822-833) from quad-packed cascades
+    (L, S, S, 4): one gathered row per tap.
+
+    NEAREST texel = floor(uv * size); the quad base floor(uv*size - 0.5) is
+    at most one texel below it, so the nearest texel is always one of the
+    gathered quad's corners."""
+    l, s, _, _ = packed_maps.shape
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    cx = jnp.clip(x0, 0, s - 1)
+    cy = jnp.clip(y0, 0, s - 1)
+    flat = packed_maps.reshape(l * s * s, 4)
+    quad = flat[(layer * s + cy) * s + cx]               # (..., 4)
+    c00, c10, c01, c11 = _quad_corners(quad, x0 >= 0, y0 >= 0)
+
+    nxi = jnp.floor(uv[..., 0] * s).astype(jnp.int32)
+    nyi = jnp.floor(uv[..., 1] * s).astype(jnp.int32)
+    inb = (nxi >= 0) & (nxi < s) & (nyi >= 0) & (nyi < s)
+    nx = jnp.clip(jnp.clip(nxi, 0, s - 1) - cx, 0, 1)
+    ny = jnp.clip(jnp.clip(nyi, 0, s - 1) - cy, 0, 1)
+    nearest = jnp.where(
+        ny == 0,
+        jnp.where(nx == 0, c00, c10),
+        jnp.where(nx == 0, c01, c11))
+    return jnp.where(inb, nearest, border)
 
 
 def sample_depth_dual_packed(packed: jnp.ndarray, uv: jnp.ndarray):

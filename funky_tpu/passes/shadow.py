@@ -20,7 +20,9 @@ import jax.numpy as jnp
 from ..ops.raster import RasterConfig, raster_scene
 from .uniforms import SHADOW_MAP_SIZE
 
-SHADOW_RASTER_CFG = RasterConfig(tile_h=128, tile_w=128, capacity=256)
+# capacity=None auto-sizes bins to the triangle count — the SAFE default
+# (an undersized bin silently drops triangles from dense shadow tiles).
+SHADOW_RASTER_CFG = RasterConfig(tile_h=128, tile_w=128, capacity=None)
 
 
 def render_shadow_maps(world: jnp.ndarray, tri_indices: jnp.ndarray,

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import (sample_bilinear_border_packed,
+from ..ops.sampling import (sample_nearest_border_packed,
                             sample_shadow_compare_packed)
 from .uniforms import FrameUniforms
 
@@ -137,14 +137,15 @@ def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
 
     light_size_texels = uni.shadow_bias[0] * 2.0          # gltf.frag:415
 
-    # Step 1: blocker search (gltf.frag:366-388).
+    # Step 1: blocker search (gltf.frag:366-388). The raw-depth sampler is
+    # NEAREST + CLAMP_TO_BORDER white (gltf_renderer.rs:822-833).
     blocker_sum = jnp.zeros_like(receiver)
     blocker_cnt = jnp.zeros_like(receiver)
     for i in range(BLOCKER_SAMPLES):
         dx, dy = vogel_disk(i, BLOCKER_SAMPLES, phi)
         off = jnp.stack([dx, dy], axis=-1) * (light_size_texels * texel)
-        d = sample_bilinear_border_packed(shadow_maps, cascade, uv + off,
-                                          border=1.0)
+        d = sample_nearest_border_packed(shadow_maps, cascade, uv + off,
+                                         border=1.0)
         hit = d < receiver
         blocker_sum = blocker_sum + jnp.where(hit, d, 0.0)
         blocker_cnt = blocker_cnt + hit.astype(jnp.float32)

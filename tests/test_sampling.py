@@ -1,6 +1,7 @@
 """Sampler parity: bilinear/nearest filtering, addressing, shadow compare."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from funky_tpu.ops import sampling
@@ -85,3 +86,41 @@ def test_batched_shapes():
     uv = jnp.zeros((8, 8, 2)) + 0.5
     out = sampling.sample_bilinear_repeat(tex, uv)
     assert out.shape == (8, 8, 4)
+
+
+def test_nearest_border_packed_matches_bruteforce():
+    """PCSS blocker sampler (NEAREST + CLAMP_TO_BORDER white,
+    gltf_renderer.rs:822-833): packed fast path vs direct texel lookup."""
+    rng = np.random.default_rng(7)
+    maps = jnp.asarray(rng.random((2, 8, 8), dtype=np.float32))
+    packed = jnp.stack([jax.vmap(sampling.quad_pack)(maps)[i]
+                        for i in range(2)])
+    uv = jnp.asarray(rng.uniform(-0.3, 1.3, size=(64, 2)).astype(np.float32))
+    layer = jnp.asarray(rng.integers(0, 2, size=(64,)), jnp.int32)
+
+    got = sampling.sample_nearest_border_packed(packed, layer, uv,
+                                                border=1.0)
+
+    m = np.asarray(maps)
+    u = np.asarray(uv)
+    lay = np.asarray(layer)
+    want = np.empty(64, np.float32)
+    for i in range(64):
+        ix = int(np.floor(u[i, 0] * 8))
+        iy = int(np.floor(u[i, 1] * 8))
+        if 0 <= ix < 8 and 0 <= iy < 8:
+            want[i] = m[lay[i], iy, ix]
+        else:
+            want[i] = 1.0
+    np.testing.assert_allclose(np.asarray(got), want, atol=0, rtol=0)
+
+
+def test_nearest_border_packed_texel_centers():
+    maps = jnp.asarray(np.arange(32, dtype=np.float32).reshape(2, 4, 4))
+    packed = jax.vmap(sampling.quad_pack)(maps)
+    for iy in range(4):
+        for ix in range(4):
+            uv = jnp.asarray([(ix + 0.5) / 4, (iy + 0.5) / 4])
+            v = sampling.sample_nearest_border_packed(
+                packed, jnp.int32(1), uv)
+            assert float(v) == 16 + iy * 4 + ix

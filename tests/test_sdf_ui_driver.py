@@ -145,3 +145,74 @@ def test_driver_save_load_state(duck_gltf_path, tmp_path):
     b.load_state(tmp_path / "session.ckpt")
     img_next_b = np.asarray(b.step())
     np.testing.assert_array_equal(img_next_a, img_next_b)
+
+
+def test_ui_hit_state_is_per_instance():
+    """Two concurrent panels must not clobber each other's hit boxes;
+    hit() before the first build is an empty no-op."""
+    from funky_tpu.app.ui import DebugPanel, UiData
+
+    data = UiData(use_pcss=True)
+    a = DebugPanel(320, 200)
+    b = DebugPanel(320, 200)
+
+    # b never rendered: no hit boxes, empty changes
+    ch = b.hit(16, 100, data)
+    assert all(v is None for v in vars(ch).values())
+
+    img = jnp.full((200, 320, 4), 0.3, jnp.float32)
+    a.render_over(img, data)
+    assert a._checkboxes and a._sliders
+    assert not b._checkboxes and not b._sliders
+
+
+def test_ui_panel_shows_last_error():
+    from funky_tpu.app.ui import UiData, build_panel
+
+    clean = build_panel(UiData())
+    dirty = build_panel(UiData(last_error="frame 3: boom"))
+    assert len(dirty.tris) > len(clean.tris)
+
+
+def test_driver_failure_escalation(duck_gltf_path):
+    """One-off frame failures skip + recover; persistent failures re-raise
+    after max_consecutive_failures, and the error surfaces in UiData."""
+    from funky_tpu.app.driver import FrameDriver
+    from funky_tpu.frame import GltfConfig
+    from funky_tpu.ops.raster import RasterConfig
+
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=512, backend="jnp")
+    cfg = GltfConfig(width=128, height=64, shadow_map_size=64,
+                     raster=tile, shadow_raster=tile)
+    drv = FrameDriver(cfg, scene_path=duck_gltf_path, enable_ui=False)
+    drv.step()
+    good_fn = drv._frame_fn
+
+    boom = RuntimeError("injected device loss")
+
+    def bad_fn(*a, **k):
+        raise boom
+
+    # transient: two failures, then recovery resets the counter
+    drv._frame_fn = bad_fn
+    drv.step()
+    drv.step()
+    assert drv.consecutive_failures == 2
+    assert "injected device loss" in drv.ui_data().last_error
+    drv._frame_fn = good_fn
+    drv.step()
+    assert drv.consecutive_failures == 0
+    assert drv.ui_data().last_error == ""
+
+    # persistent: the third consecutive failure re-raises
+    drv._frame_fn = bad_fn
+    drv.step()
+    drv.step()
+    with pytest.raises(RuntimeError, match="injected device loss"):
+        drv.step()
+
+
+def test_shadow_raster_default_capacity_is_safe():
+    from funky_tpu.passes.shadow import SHADOW_RASTER_CFG
+
+    assert SHADOW_RASTER_CFG.capacity is None
