@@ -106,6 +106,32 @@ def main():
     except Exception as e:
         print(f"# capacity tuning failed ({e}); using auto", file=sys.stderr)
 
+    # Tune the sparse-evaluation capacities the same way: padded compaction
+    # slots pay real gather cost, so size them to measured occupancy with
+    # headroom (overflow is exact-but-slow via the dense lax.cond fallback).
+    try:
+        import dataclasses
+
+        from funky_tpu.utils.diagnostics import measure_sparse_occupancy
+
+        occ = measure_sparse_occupancy(scene, params, cfg)
+
+        def cap1k(count):
+            return max(-(-int(count * 1.5) // 1024) * 1024, 1024)
+
+        cfg = dataclasses.replace(
+            cfg,
+            shadow_pen_capacity=cap1k(occ["pairs"]),
+            contact_capacity=cap1k(occ["contact_stage2"]),
+            contact_march_capacity=cap1k(occ["contact_march"]))
+        print(f"# sparse occupancy {occ} -> pen_capacity "
+              f"{cfg.shadow_pen_capacity}, contact_capacity "
+              f"{cfg.contact_capacity}, march "
+              f"{cfg.contact_march_capacity}", file=sys.stderr)
+    except Exception as e:
+        print(f"# sparse tuning failed ({e}); using defaults",
+              file=sys.stderr)
+
     state = init_frame_state(cfg)
     frame = compiled_gltf_frame(cfg)
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from . import math3d as m3
 from .models.scene import DeviceScene
-from .ops.raster import RasterConfig, raster_scene
+from .ops.raster import RasterConfig, raster_corners, raster_scene
 from .passes import deferred, geometry, shading
 
 CUBE_CLEAR = (0.39, 0.58, 0.93)    # cornflower blue (cube.rs:277)
@@ -35,10 +35,34 @@ class FrameConfig:
     width: int = 1920
     height: int = 1080
     raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
+    # Static slots for near-plane-crossing triangles (ops/clipping.py);
+    # 0 disables clipping (crossing triangles cull whole, round-1 behavior).
+    clip_capacity: int = 32
 
     @property
     def aspect(self) -> float:
         return self.width / self.height
+
+
+def _main_raster_inputs(scene: DeviceScene, clip: jnp.ndarray,
+                        blocks: jnp.ndarray, clip_capacity: int):
+    """Near-clip expansion for the main visibility pass (the shadow pass
+    is orthographic, w == 1, and never needs it). Returns
+    (tri_clip, blocks, tri_flags, valid_mask)."""
+    from .ops.clipping import expand_near_clipped
+
+    if clip_capacity <= 0:
+        tri_clip = clip[scene.tri_indices]
+        valid = jnp.arange(scene.tri_indices.shape[0]) < scene.num_triangles
+        return tri_clip, blocks, scene.tri_flags, valid
+    g = expand_near_clipped(
+        clip[scene.tri_indices], blocks, scene.tri_flags,
+        scene.num_triangles, capacity=clip_capacity,
+        # Any w_eps <= w(near plane) renders identically to the exact
+        # fixed-function clip (see ops/clipping.py); NEAR/10 also keeps
+        # clipped-corner projections well-conditioned.
+        w_eps=NEAR * 0.1)
+    return g.tri_clip, g.blocks, g.tri_flags, g.valid
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,12 +121,13 @@ def render_cube_frame(scene: DeviceScene, params: CubeParams,
     models = model[None]
     world, clip, normals = geometry.transform_vertices(scene, models, view_proj)
     blocks = geometry.build_shade_blocks(scene, world, clip, normals)
+    tri_clip, blocks, tri_flags, tri_valid = _main_raster_inputs(
+        scene, clip, blocks, cfg.clip_capacity)
 
-    tri_id, depth, setup = raster_scene(
-        clip, scene.tri_indices, cfg.width, cfg.height,
-        scene.num_triangles, cfg.raster)
+    tri_id, depth, setup = raster_corners(
+        tri_clip, tri_valid, cfg.width, cfg.height, cfg.raster)
     gbuf = deferred.interpolate(tri_id, depth, setup.data, blocks,
-                                scene.tri_flags)
+                                tri_flags)
 
     light_dir = jnp.asarray([1.0, 1.0, 1.0], jnp.float32)  # cube.rs:202
     background = jnp.asarray(CUBE_CLEAR, jnp.float32)
@@ -130,6 +155,15 @@ class GltfFrameFlags:
     debug_cascades: bool = False
     enable_shadows: bool = True
     enable_contact_shadows: bool = True
+    # Sparse-exact shadow filtering (the TPU analogue of the reference's
+    # fragment-shader early-outs, gltf.frag:402-423): conservative
+    # LIT/UMBRA classification retires most pixels with zero taps; only
+    # penumbra pixels run the exact 16+16-tap evaluation, compacted.
+    # Bit-exact vs the dense path while shadow_pen_capacity holds.
+    sparse_shadows: bool = True
+    # Same treatment for the contact-shadow march: a min-depth pyramid
+    # proves most rays miss; only candidate pixels march (passes/contact.py).
+    sparse_contact: bool = True
     # Performance mode (not in the reference): evaluate the shadow filter
     # + contact march on a 1/scale-resolution grid and bilinearly upsample
     # (scale in {1, 2, 4}). TPU shadow cost is gather-row-bound, so cost
@@ -158,6 +192,26 @@ class GltfConfig:
     shadow_raster: RasterConfig = dataclasses.field(
         default_factory=lambda: RasterConfig(tile_h=128, tile_w=128))
     flags: GltfFrameFlags = dataclasses.field(default_factory=GltfFrameFlags)
+    # Sparse shadow filtering knobs (flags.sparse_shadows):
+    # max penumbra (pixel, cascade) pairs per frame slab — the compaction
+    # capacity; None = slab_pixels // 16. Padded slots still pay gather
+    # cost, so keep it tight; OVERFLOW IS SAFE (lax.cond falls back to the
+    # full dense evaluation — slow frame, exact image). Size from
+    # shadow_filter.classify_stats (flagship 1080p measures ~55k pairs).
+    shadow_pen_capacity: int | None = None
+    # classification budget: frames with softness > max_softness fall back
+    # to exact taps everywhere (correct, slower). Class-map coarseness in
+    # fine texels per cell.
+    max_softness: float = 4.0
+    class_coarse: int = 8
+    # sparse contact shadows (flags.sparse_contact): stage-2 refine set
+    # capacity (None = slab_pixels // 4) and exact-march set capacity
+    # (None = stage2 // 4); overflow = exact dense fallback.
+    contact_capacity: int | None = None
+    contact_march_capacity: int | None = None
+    # Static slots for near-plane-crossing triangles in the main pass
+    # (ops/clipping.py); 0 disables (crossing triangles cull whole).
+    clip_capacity: int = 64
 
     @property
     def aspect(self) -> float:
@@ -255,17 +309,23 @@ def compute_frame_uniforms(params: GltfParams, state: FrameState,
 
 def shade_slab(scene: DeviceScene, uni, state: FrameState,
                shadow_maps, tri_id, depth, setup_data, blocks,
-               cfg: GltfConfig, y0=0):
+               cfg: GltfConfig, y0=0, class_maps=None, tri_flags=None):
     """Per-pixel back half of the frame for a row slab [y0, y0+h):
     deferred attributes -> cascade shadow filtering -> TAA -> contact
     shadows -> final shading (gltf.frag main). Pure; the single-chip frame
     uses one full-height slab, multi-chip shards rows over devices.
 
+    class_maps: ShadowClassMaps for the sparse shadow path (None = dense).
+    tri_flags: per-triangle flags matching `blocks`' row count (defaults
+    to scene.tri_flags; the near-clip expansion passes its extended copy).
+
     Returns (rgba (h, W, 4), shadow-history slab (h, W, 2)).
     """
     flags = cfg.flags
+    if tri_flags is None:
+        tri_flags = scene.tri_flags
     gbuf = deferred.interpolate(tri_id, depth, setup_data, blocks,
-                                scene.tri_flags, y0)
+                                tri_flags, y0)
 
     normal = gbuf.normal / jnp.maximum(
         jnp.linalg.norm(gbuf.normal, axis=-1, keepdims=True), 1e-12)
@@ -289,20 +349,30 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
         return jax.image.resize(a, (h, w) + a.shape[2:], method="linear")
 
     scale = flags.effective_shadow_scale
+
+    def eval_shadow(world_s, normal_s, ndl_s, vdepth_s, frag_s, valid_s):
+        if class_maps is not None:
+            return shadow_filter.cascaded_shadow_sparse(
+                uni, shadow_maps, class_maps, world_s, normal_s, ndl_s,
+                vdepth_s, frag_s, flags.use_pcss, valid_s,
+                cfg.shadow_pen_capacity)
+        return shadow_filter.cascaded_shadow(
+            uni, shadow_maps, world_s, normal_s, ndl_s, vdepth_s, frag_s,
+            flags.use_pcss)
+
     if flags.enable_shadows and scale > 1:
         sub = lambda a: a[::scale, ::scale]  # noqa: E731
-        sres_h, _, _, _ = shadow_filter.cascaded_shadow(
-            uni, shadow_maps, sub(gbuf.world), sub(normal), sub(n_dot_l),
-            sub(view_depth), sub(frag), flags.use_pcss)
+        sres_h, _, _, _ = eval_shadow(
+            sub(gbuf.world), sub(normal), sub(n_dot_l), sub(view_depth),
+            sub(frag), sub(gbuf.valid))
         sres = shadow_filter.ShadowResult(*(
             _upsample(f) for f in sres_h))
         # cascade ids for the debug view are pure dense math: full res
         c0, c1, ct = shadow_filter.select_cascade_blend(
             view_depth, uni.cascade_splits)
     elif flags.enable_shadows:
-        sres, c0, c1, ct = shadow_filter.cascaded_shadow(
-            uni, shadow_maps, gbuf.world, normal, n_dot_l, view_depth,
-            frag, flags.use_pcss)
+        sres, c0, c1, ct = eval_shadow(
+            gbuf.world, normal, n_dot_l, view_depth, frag, gbuf.valid)
     else:
         one = jnp.ones((h, w), jnp.float32)
         sres = shadow_filter.ShadowResult(one, one, one, jnp.zeros_like(one))
@@ -314,13 +384,23 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
         sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa,
         y0, cfg.height)
 
+    if flags.sparse_contact:
+        def contact_fn(world_s, normal_s, uni_s, depth_s, y0_s, valid_s):
+            return contact.compute_contact_shadow_sparse(
+                world_s, normal_s, uni_s, depth_s, y0_s,
+                capacity=cfg.contact_capacity,
+                march_capacity=cfg.contact_march_capacity, valid=valid_s)
+    else:
+        def contact_fn(world_s, normal_s, uni_s, depth_s, y0_s, valid_s):
+            return contact.compute_contact_shadow(world_s, normal_s, uni_s,
+                                                  depth_s, y0_s)
     if flags.enable_contact_shadows and scale > 1:
-        ct_half = contact.compute_contact_shadow(
-            sub(gbuf.world), sub(normal), uni, state.prev_depth, y0)
+        ct_half = contact_fn(sub(gbuf.world), sub(normal), uni,
+                             state.prev_depth, y0, sub(gbuf.valid))
         shadow_term = jnp.minimum(shadow_term, _upsample(ct_half))
     elif flags.enable_contact_shadows:
-        contact_term = contact.compute_contact_shadow(
-            gbuf.world, normal, uni, state.prev_depth, y0)
+        contact_term = contact_fn(gbuf.world, normal, uni,
+                                  state.prev_depth, y0, gbuf.valid)
         shadow_term = jnp.minimum(shadow_term, contact_term)  # gltf.frag:619
 
     # History only updates where fragments actually shaded (imageStore
@@ -355,27 +435,35 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
     blocks = geometry.build_shade_blocks(scene, world_v, clip, normals_v)
 
     # -- shadow cascade depth passes --
+    class_maps = None
     if flags.enable_shadows:
         from .ops.sampling import quad_pack
+        from .passes.shadow_classify import build_class_maps
 
-        shadow_maps = shadow.render_shadow_maps(
+        raw_maps = shadow.render_shadow_maps(
             world_v, scene.tri_indices, scene.num_triangles,
             uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
+        if flags.sparse_shadows:
+            class_maps = build_class_maps(raw_maps, cfg.class_coarse,
+                                          cfg.max_softness)
         # quad-pack once (dense shifts) so every filter tap is ONE gather.
         # The barrier forces materialization: without it XLA fuses the
         # packing rolls into every tap's gather (3x slower taps).
         shadow_maps = jax.lax.optimization_barrier(
-            jax.vmap(quad_pack)(shadow_maps))            # (4, S, S, 4)
+            jax.vmap(quad_pack)(raw_maps))               # (4, S, S, 4)
     else:
         shadow_maps = None
 
     # -- main visibility pass --
-    tri_id, depth, setup = raster_scene(
-        clip, scene.tri_indices, cfg.width, cfg.height,
-        scene.num_triangles, cfg.raster)
+    tri_clip, blocks_m, tri_flags_m, tri_valid = _main_raster_inputs(
+        scene, clip, blocks, cfg.clip_capacity)
+    tri_id, depth, setup = raster_corners(
+        tri_clip, tri_valid, cfg.width, cfg.height, cfg.raster)
 
     rgba, new_history = shade_slab(scene, uni, state, shadow_maps,
-                                   tri_id, depth, setup.data, blocks, cfg)
+                                   tri_id, depth, setup.data, blocks_m, cfg,
+                                   class_maps=class_maps,
+                                   tri_flags=tri_flags_m)
 
     new_state = FrameState(
         shadow_history=new_history,

@@ -17,8 +17,9 @@ Conventions (Vulkan parity):
 - cull mode NONE (gltf_renderer.rs:1392): both windings rasterize; we
   normalize the edge functions by the *signed* area so barycentric
   coverage (all >= 0) works for both.
-- triangles with any w <= eps are culled (conservative near-plane handling;
-  the scene never crosses the near plane in the reference configs).
+- triangles with any w <= eps are culled HERE; near-plane-crossing
+  triangles are clipped into sub-triangles upstream (ops/clipping.py), so
+  by the time setup runs every valid triangle projects cleanly.
   Fragments with z outside [0,1) are depth-clipped per pixel in the raster.
 
 Triangle setup output is a flat (T, 16) f32 matrix so binning/rastering can
@@ -65,6 +66,20 @@ def triangle_setup(clip: jnp.ndarray, tri_indices: jnp.ndarray,
       num_triangles: real triangle count; padded tail is marked invalid.
     """
     tri_clip = clip[tri_indices]                      # (T, 3, 4)
+    valid_mask = None
+    if num_triangles is not None:
+        t = tri_indices.shape[0]
+        valid_mask = jnp.arange(t) < num_triangles
+    return triangle_setup_corners(tri_clip, width, height, valid_mask)
+
+
+def triangle_setup_corners(tri_clip: jnp.ndarray, width: int, height: int,
+                           valid_mask: jnp.ndarray | None = None
+                           ) -> TriangleSetup:
+    """triangle_setup from per-corner clip positions (T, 3, 4) directly —
+    the entry point for near-clip-expanded geometry (ops/clipping.py),
+    whose sub-triangles have no vertex-buffer indices. `valid_mask`
+    overrides per-row validity (AND-ed with the w/area culls)."""
     w = tri_clip[..., 3]                              # (T, 3)
     w_ok = jnp.all(w > _W_EPS, axis=-1)
 
@@ -120,9 +135,8 @@ def triangle_setup(clip: jnp.ndarray, tri_indices: jnp.ndarray,
     by1 = jnp.clip(jnp.maximum(jnp.maximum(y0, y1), y2), 0.0, float(height))
 
     valid = w_ok & area_ok & (bx1 > bx0) & (by1 > by0)
-    if num_triangles is not None:
-        t = tri_indices.shape[0]
-        valid = valid & (jnp.arange(t) < num_triangles)
+    if valid_mask is not None:
+        valid = valid & valid_mask
 
     data = jnp.concatenate(
         [coeffs, jnp.stack([za, zb, zc], axis=-1),

@@ -1,0 +1,94 @@
+"""Sparse compaction: evaluate an expensive per-element function on only
+the elements that need it.
+
+TPU rationale: every per-pixel data-dependent fetch costs a serial-loop
+gather row (~3-13 ns/row depending on table size — see PERF.md), so a pass
+that only a few % of pixels need (penumbra shadow taps, contact-shadow
+marches) should run on a compacted list of those pixels, not the full
+framebuffer. Masking alone saves nothing: gather cost is data-independent.
+
+This is the TPU-native stand-in for the GPU's divergence handling (early
+`return`s in gltf.frag, e.g. the lit/out-of-bounds early-outs at
+gltf.frag:402-423) — a fragment shader retires cheap pixels for free; we
+compact instead.
+
+Pipeline:   mask -> compact_indices (one argsort; ~4 ms for 2M keys)
+         -> gather payload rows for the selected elements
+         -> evaluate on the (capacity,)-shaped batch
+         -> scatter_back into the dense result.
+
+Capacity is STATIC (jit shapes): `count` may exceed it, in which case the
+overflow elements keep the caller's dense fallback values. Callers pick
+capacity from measured occupancy (see `CompactDiagnostics` in callers'
+stats) exactly like RasterConfig.capacity, and the padded entries still pay
+gather cost — capacity is the knob that sets the pass's cost.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class Compacted(NamedTuple):
+    idx: jnp.ndarray     # (capacity,) int32 flat indices into the mask,
+    #                      -1 for padding slots
+    slot_valid: jnp.ndarray  # (capacity,) bool
+    count: jnp.ndarray   # () int32 — TRUE number of masked elements
+    #                      (may exceed capacity; compare to detect overflow)
+
+
+def compact_indices(mask: jnp.ndarray, capacity: int,
+                    group_key: jnp.ndarray | None = None) -> Compacted:
+    """Indices of True elements of `mask` (flattened), first-N by raster
+    order (or grouped by `group_key` then raster order), padded to
+    `capacity` with -1.
+
+    Args:
+      mask: bool array, any shape.
+      capacity: static output length.
+      group_key: optional int32 array (same shape) — selected elements are
+        ordered by key first (e.g. cascade layer, for gather locality),
+        raster order within a key.
+    """
+    flat = mask.ravel()
+    n = flat.shape[0]
+    capacity = min(capacity, n)
+    arange = jnp.arange(n, dtype=jnp.int32)
+    if group_key is None:
+        # Stable argsort of (not mask): True (0) sorts first, stable keeps
+        # raster order.
+        order = jnp.argsort(~flat, stable=True)
+    else:
+        # int32 keys: requires (max_group + 1) * n < 2^31 (fine for pixel
+        # masks grouped by cascade: 5 * 4M << 2^31).
+        key = jnp.where(flat, group_key.ravel() * n + arange,
+                        jnp.int32(group_key.max() + 1) * n + arange)
+        order = jnp.argsort(key)
+    order = order[:capacity].astype(jnp.int32)
+    count = jnp.sum(flat, dtype=jnp.int32)
+    slot_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
+        count, capacity)
+    return Compacted(idx=jnp.where(slot_valid, order, -1),
+                     slot_valid=slot_valid, count=count)
+
+
+def gather_rows(table: jnp.ndarray, comp: Compacted) -> jnp.ndarray:
+    """Gather payload rows (flat-first-dim `table`) for compacted elements;
+    padding slots fetch row 0 (callers mask with comp.slot_valid)."""
+    safe = jnp.maximum(comp.idx, 0)
+    return table[safe]
+
+
+def scatter_back(dense: jnp.ndarray, comp: Compacted,
+                 values: jnp.ndarray) -> jnp.ndarray:
+    """Write per-slot `values` (capacity, ...) into flat-first-dim `dense`
+    at the compacted indices; padding slots are dropped. Returns updated
+    dense array (same shape as input)."""
+    flat = dense.reshape((-1,) + values.shape[1:])
+    # Padding idx = -1 -> redirect to an out-of-range row and drop.
+    n = flat.shape[0]
+    idx = jnp.where(comp.slot_valid, comp.idx, n)
+    out = flat.at[idx].set(values, mode="drop")
+    return out.reshape(dense.shape)

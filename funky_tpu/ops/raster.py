@@ -99,11 +99,26 @@ def raster_scene(clip: jnp.ndarray, tri_indices: jnp.ndarray,
     sharding across chips). Returns (tri_id, depth, TriangleSetup) where
     the buffers are (slice_height or height, width).
     """
-    from .binning import bin_triangles, gather_bin_data, triangle_setup
+    tri_clip = clip[tri_indices]
+    valid_mask = None
+    if num_triangles is not None:
+        valid_mask = jnp.arange(tri_indices.shape[0]) < num_triangles
+    return raster_corners(tri_clip, valid_mask, width, height, cfg,
+                          y_offset, slice_height)
+
+
+def raster_corners(tri_clip: jnp.ndarray, valid_mask: jnp.ndarray | None,
+                   width: int, height: int, cfg: RasterConfig,
+                   y_offset: jnp.ndarray | int = 0,
+                   slice_height: int | None = None):
+    """raster_scene from per-corner clip positions (T, 3, 4) — the entry
+    point for near-clip-expanded geometry (ops/clipping.py)."""
+    from .binning import (bin_triangles, gather_bin_data,
+                          triangle_setup_corners)
 
     sh = height if slice_height is None else slice_height
-    capacity = cfg.resolve_capacity(tri_indices.shape[0])
-    setup = triangle_setup(clip, tri_indices, width, height, num_triangles)
+    capacity = cfg.resolve_capacity(tri_clip.shape[0])
+    setup = triangle_setup_corners(tri_clip, width, height, valid_mask)
     bins, counts = bin_triangles(setup, width, sh,
                                  cfg.tile_h, cfg.tile_w, capacity,
                                  y_offset)

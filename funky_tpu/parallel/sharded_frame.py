@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..frame import (FrameState, GltfConfig, GltfParams,
+from ..frame import (FrameState, GltfConfig, GltfParams, _main_raster_inputs,
                      compute_frame_uniforms, shade_slab)
 from ..models.scene import DeviceScene
-from ..ops.raster import raster_scene
+from ..ops.raster import raster_corners, raster_scene
 from ..passes import geometry
 from .mesh import ROWS_AXIS
 
@@ -76,24 +76,33 @@ def sharded_gltf_frame(mesh: Mesh, cfg: GltfConfig):
                     cfg.shadow_raster, sm_y0, sm_slab)
                 slabs.append(depth_c)
             local_sm = jnp.stack(slabs)                 # (4, S/n, S)
-            shadow_maps = jax.lax.all_gather(
+            raw_maps = jax.lax.all_gather(
                 local_sm, ROWS_AXIS, axis=1, tiled=True)  # (4, S, S)
             from ..ops.sampling import quad_pack
+            from ..passes.shadow_classify import build_class_maps
 
+            class_maps = (build_class_maps(raw_maps, cfg.class_coarse,
+                                           cfg.max_softness)
+                          if flags.sparse_shadows else None)
             shadow_maps = jax.lax.optimization_barrier(
-                jax.vmap(quad_pack)(shadow_maps))
+                jax.vmap(quad_pack)(raw_maps))
         else:
             shadow_maps = None
+            class_maps = None
 
         # -- main pass: row slab of the framebuffer --
+        # Near-clip expansion is replicated per device (dense, tiny) so
+        # every slab rasters identical extended tables.
         y0 = idx * slab_h
-        tri_id, depth, setup = raster_scene(
-            clip, scene.tri_indices, cfg.width, cfg.height,
-            scene.num_triangles, cfg.raster, y0, slab_h)
+        tri_clip, blocks_m, tri_flags_m, tri_valid = _main_raster_inputs(
+            scene, clip, blocks, cfg.clip_capacity)
+        tri_id, depth, setup = raster_corners(
+            tri_clip, tri_valid, cfg.width, cfg.height, cfg.raster, y0,
+            slab_h)
 
         rgba_slab, hist_slab = shade_slab(
             scene, uni, state, shadow_maps, tri_id, depth, setup.data,
-            blocks, cfg, y0)
+            blocks_m, cfg, y0, class_maps=class_maps, tri_flags=tri_flags_m)
 
         # -- gather slabs back to replicated full buffers --
         rgba = jax.lax.all_gather(rgba_slab, ROWS_AXIS, axis=0, tiled=True)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.sampling import quad_pack, sample_depth_dual_packed
 from .shadow_filter import interleaved_gradient_noise
@@ -71,17 +72,12 @@ def _sample_depth_dual(depth_packed, uv):
     return jnp.maximum(d_lin, d_nst), jnp.minimum(d_lin, d_nst)
 
 
-def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
-                           uni: FrameUniforms, prev_depth: jnp.ndarray,
-                           y0=0) -> jnp.ndarray:
-    """gltf.frag:324-363. Returns (h, W) shadow factor in [0, 1] for the
-    row slab at global row y0; prev_depth is always full-frame (rays can
-    cross slab boundaries)."""
-    h, w = world.shape[:2]
-    # barrier: keep the packing rolls out of the probes' gather fusions
-    depth_packed = jax.lax.optimization_barrier(quad_pack(prev_depth))
+def _ray_setup(world: jnp.ndarray, normal: jnp.ndarray,
+               uni: FrameUniforms):
+    """World ray toward the light -> clipped NDC march segment
+    (gltf.frag:199-245). Returns (march_start, march_dir, on_screen,
+    facing) with leading batch shape = world.shape[:-1]."""
     light_dir = uni.light_dir
-
     n_dot_l = jnp.sum(normal * light_dir, axis=-1)
     facing = n_dot_l > 0.0
 
@@ -89,10 +85,10 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
     end = start + light_dir * TRACE_DISTANCE
 
     vp = uni.proj @ uni.view
-    ones = jnp.ones((h, w, 1), jnp.float32)
+    ones = jnp.ones(world.shape[:-1] + (1,), jnp.float32)
 
     def to_cs(p):
-        clip = jnp.einsum("ij,hwj->hwi",
+        clip = jnp.einsum("ij,...j->...i",
                           vp, jnp.concatenate([p, ones], axis=-1))
         return clip[..., :3] / jnp.where(
             jnp.abs(clip[..., 3:4]) > 1e-12, clip[..., 3:4], 1e-12)
@@ -103,8 +99,8 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
 
     # Slab-clip the ray to NDC bounds: XY to [-1,1], Z to [0,1]
     # (gltf.frag:209-236).
-    t_min = jnp.zeros((h, w), jnp.float32)
-    t_max = jnp.ones((h, w), jnp.float32)
+    t_min = jnp.zeros(facing.shape, jnp.float32)
+    t_max = jnp.ones(facing.shape, jnp.float32)
     for axis, lo, hi in ((0, -1.0, 1.0), (1, -1.0, 1.0), (2, 0.0, 1.0)):
         d = ray_dir[..., axis]
         s = start_cs[..., axis]
@@ -121,21 +117,18 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
 
     march_start = start_cs + ray_dir * t_min[..., None]
     march_dir = (start_cs + ray_dir * t_max[..., None]) - march_start
+    return march_start, march_dir, on_screen, facing
 
-    # Jitter (gltf.frag:338): IGN of fragCoord + frame offset.
-    frame = uni.debug_flags[3]
-    frag_x = jnp.broadcast_to(
-        jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5, (h, w))
-    frag_y = jnp.broadcast_to(
-        jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
-        + jnp.asarray(y0, jnp.float32), (h, w))
-    jitter = interleaved_gradient_noise(jnp.stack(
-        [frag_x + frame * 13.37, frag_y + frame * 17.17], axis=-1))
 
-    min_t = jnp.zeros((h, w), jnp.float32)
-    max_t = jnp.ones((h, w), jnp.float32)
-    intersected = jnp.zeros((h, w), bool)
-    last_pen = jnp.zeros((h, w), jnp.float32)
+def _march(depth_packed: jnp.ndarray, march_start: jnp.ndarray,
+           march_dir: jnp.ndarray, jitter: jnp.ndarray) -> jnp.ndarray:
+    """The 8-linear + 4-bisection hybrid root find (gltf.frag:253-318,
+    341-349) on any batch shape. Returns (intersected, max_t, last_pen)."""
+    shape = jitter.shape
+    min_t = jnp.zeros(shape, jnp.float32)
+    max_t = jnp.ones(shape, jnp.float32)
+    intersected = jnp.zeros(shape, bool)
+    last_pen = jnp.zeros(shape, jnp.float32)
 
     def probe(t):
         """Sample along the ray at parameter t: returns
@@ -171,11 +164,396 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
         max_t = jnp.where(go & hit, mid, max_t)
         last_pen = jnp.where(go & hit, pen, last_pen)
         min_t = jnp.where(go & ~hit, mid, min_t)
+    return intersected, max_t, last_pen
 
-    hit_final = intersected & on_screen & facing
 
-    # Soft falloff (gltf.frag:351-362).
+def _soft_term(intersected, max_t, last_pen):
+    """Soft falloff (gltf.frag:351-362)."""
     strength = 1.0 - _smoothstep(0.0, 0.5, max_t)
     pen_fade = 1.0 - _smoothstep(0.0, DEPTH_THICKNESS, last_pen)
     shadowed = 1.0 - strength * pen_fade * MAX_DARKNESS
-    return jnp.where(hit_final, shadowed, 1.0)
+    return jnp.where(intersected, shadowed, 1.0)
+
+
+def _jitter(h, w, y0, frame):
+    """Per-pixel march jitter (gltf.frag:338): IGN of fragCoord + frame."""
+    frag_x = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5, (h, w))
+    frag_y = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+        + jnp.asarray(y0, jnp.float32), (h, w))
+    return interleaved_gradient_noise(jnp.stack(
+        [frag_x + frame * 13.37, frag_y + frame * 17.17], axis=-1))
+
+
+def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
+                           uni: FrameUniforms, prev_depth: jnp.ndarray,
+                           y0=0) -> jnp.ndarray:
+    """gltf.frag:324-363. Returns (h, W) shadow factor in [0, 1] for the
+    row slab at global row y0; prev_depth is always full-frame (rays can
+    cross slab boundaries)."""
+    h, w = world.shape[:2]
+    # barrier: keep the packing rolls out of the probes' gather fusions
+    depth_packed = jax.lax.optimization_barrier(quad_pack(prev_depth))
+
+    march_start, march_dir, on_screen, facing = _ray_setup(world, normal,
+                                                           uni)
+    jitter = _jitter(h, w, y0, uni.debug_flags[3])
+    intersected, max_t, last_pen = _march(depth_packed, march_start,
+                                          march_dir, jitter)
+    term = _soft_term(intersected & on_screen & facing, max_t, last_pen)
+    return term
+
+
+# ---------------------------------------------------------------------------
+# Sparse evaluation: an analytic-plane residual certificate proves most
+# rays cannot hit anything, so only a small compacted set runs the exact
+# 12-probe march. The certificate is sound for ANY reference plane (the
+# residual is MEASURED against it), so correctness never depends on the
+# scene actually containing a ground plane — only the retire rate does.
+#
+# Theory: a probe at screen point q hits only if the dual-sampled stored
+# depth max(bilinear, nearest) < ray_ndc (gltf.frag:270-273; the
+# linearization is monotone on stored depths <= 1). A plane's NDC depth
+# is AFFINE in screen coordinates (planes map to planes under projective
+# transforms), and bilinear interpolation REPRODUCES affine fields
+# exactly at interior texels, so with the residual field
+#     R = stored_depth - min(plane_ndc, 1)          (per texel)
+# we get   bilinear(stored at q) >= bound(q) + min R over the footprint,
+# where bound(q) = plane_ndc(q) where the footprint stays below the
+# horizon clamp, 1.0 fully above it, and min(plane,1) - slope_margin in
+# the transition band. The ray leaves its receiver toward the light
+# (plus the 0.01 normal offset, gltf.frag:332), so ray_ndc sits BELOW the
+# plane depth along its own view ray — a positive analytic gap that only
+# f32 noise (covered by min R and a rounding epsilon) can eat. Ground and
+# sky texels have R ~= 0; only boxes touching closer geometry (the duck)
+# de-certify.
+#
+# Stage 1 (dense, 1 pyramid row/px): whole-ray box min-R + 8 analytic
+#   per-probe bounds -> retires flat-ground/sky rays.
+# Stage 2 (compacted, 8 level-0 rows): per-probe +-2px boxes -> retires
+#   the box-dilation shell around the occluder.
+# Stage 3 (compacted): the exact hybrid march.
+# Overflow at either capacity falls back to the dense march (exact).
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple  # noqa: E402
+
+FOOT = 2.0        # dual-sampler footprint half-width in texels (the quad
+#                   base spans [floor(x-0.5), floor(x-0.5)+1])
+
+
+class ResidualPyramid(NamedTuple):
+    rows: jnp.ndarray          # concat of quad-packed min-R levels, (N, 4)
+    offsets: jnp.ndarray       # (L,) int32 row offset per level
+    widths: jnp.ndarray        # (L,) int32 cells per row per level
+    heights: jnp.ndarray       # (L,) int32
+    cells: jnp.ndarray         # (L,) f32 cell size in pixels
+    base: int
+    plane: jnp.ndarray         # (3,) [a, b, c]: plane_ndc = a*px + b*py + c
+    eps: jnp.ndarray           # () f32 conservative f32-rounding slack
+
+
+_PAD_BIG = 1e9    # min-reduce padding: never drives a window minimum down
+
+
+def _reduce_min(d: jnp.ndarray, f: int) -> jnp.ndarray:
+    h, w = d.shape
+    d = jnp.pad(d, ((0, -h % f), (0, -w % f)), constant_values=_PAD_BIG)
+    return d.reshape(d.shape[0] // f, f, d.shape[1] // f, f).min(axis=(1, 3))
+
+
+def fit_ground_plane(view_proj: jnp.ndarray, width: int, height: int,
+                     camera_pos: jnp.ndarray,
+                     plane_y: float = 0.0) -> jnp.ndarray:
+    """Screen-space NDC-depth plane [a, b, c] of the world plane y=plane_y
+    under `view_proj`, fitted from 3 projected on-plane points near the
+    camera's ground footprint (well-conditioned in f32, unlike a 4x4
+    inverse whose conditioning ~ far/near). Degenerate views (camera in
+    the plane, points behind the eye) yield useless-but-sound
+    coefficients: the certificate just stops retiring pixels."""
+    cx, cy, cz = camera_pos[0], camera_pos[1], camera_pos[2]
+    # Points on the plane around the camera's vertical drop point, spread
+    # a few units so their projections span a good screen area.
+    base = jnp.stack([cx, jnp.asarray(plane_y, jnp.float32), cz])
+    pts = jnp.stack([
+        base + jnp.asarray([0.0, 0.0, -4.0], jnp.float32),
+        base + jnp.asarray([3.0, 0.0, -9.0], jnp.float32),
+        base + jnp.asarray([-3.0, 0.0, -9.0], jnp.float32),
+    ])                                                     # (3, 3)
+    ones = jnp.ones((3, 1), jnp.float32)
+    clip = jnp.concatenate([pts, ones], axis=-1) @ view_proj.T
+    w = clip[:, 3]
+    w = jnp.where(jnp.abs(w) > 1e-4, w, 1e-4)
+    ndc = clip[:, :3] / w[:, None]
+    px = (ndc[:, 0] + 1.0) * (0.5 * width)    # raster convention
+    py = (ndc[:, 1] + 1.0) * (0.5 * height)   # (ops/binning.py viewport)
+    a_mat = jnp.stack([px, py, jnp.ones(3, jnp.float32)], axis=-1)
+    det = jnp.linalg.det(a_mat)
+    safe = jnp.where(jnp.abs(det) > 1e-6, det, 1e-6)
+    # Cramer's rule (3x3), f32-fine for screen-spread points.
+    sol = []
+    for k in range(3):
+        m = a_mat.at[:, k].set(ndc[:, 2])
+        sol.append(jnp.linalg.det(m) / safe)
+    return jnp.stack(sol)
+
+
+def build_residual_pyramid(prev_depth: jnp.ndarray, plane: jnp.ndarray,
+                           base: int = 4) -> ResidualPyramid:
+    """Min-pyramid (levels base*2^j) of R = stored - min(plane_ndc, 1);
+    each level quad-packed so a 2x2-cell window is ONE gathered row, all
+    levels concatenated into one table."""
+    h, w = prev_depth.shape
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    plane_tex = plane[0] * xs + plane[1] * ys + plane[2]
+    resid = prev_depth - jnp.minimum(plane_tex, 1.0)
+
+    levels = []
+    d = _reduce_min(resid, base)
+    cell = base
+    while True:
+        levels.append((quad_pack(d), cell))
+        if cell >= max(h, w):
+            break
+        d = _reduce_min(d, 2)
+        cell *= 2
+    rows = jnp.concatenate([lv.reshape(-1, 4) for lv, _ in levels])
+    sizes = [lv.shape[:2] for lv, _ in levels]
+    offs = np.cumsum([0] + [sh * sw for sh, sw in sizes[:-1]])
+    # f32 slack: texel-eval rounding of the plane (scales with its term
+    # magnitudes) + residual subtraction rounding.
+    eps = ((jnp.abs(plane[0]) * w + jnp.abs(plane[1]) * h
+            + jnp.abs(plane[2])) * 4e-7 + 2e-7)
+    return ResidualPyramid(
+        rows=rows,
+        offsets=jnp.asarray(offs, jnp.int32),
+        widths=jnp.asarray([sw for _, sw in sizes], jnp.int32),
+        heights=jnp.asarray([sh for sh, _ in sizes], jnp.int32),
+        cells=jnp.asarray([c for _, c in levels], jnp.float32),
+        base=base,
+        plane=plane,
+        eps=eps)
+
+
+def _box_min(pyr: ResidualPyramid, lo: jnp.ndarray,
+             hi: jnp.ndarray) -> jnp.ndarray:
+    """Lower bound of R over the pixel-space box [lo, hi] (already
+    clamped): ONE gathered row from the level whose 2x2 quad-packed cell
+    window covers the box."""
+    n_levels = pyr.cells.shape[0]
+    side = jnp.max(hi - lo, axis=-1)
+    j = jnp.ceil(jnp.log2(jnp.maximum(side, 1.0) / pyr.base))
+    j = jnp.clip(j, 0, n_levels - 1).astype(jnp.int32)
+    oh = (j[..., None] == jnp.arange(n_levels, dtype=jnp.int32))
+    fsel = lambda a: jnp.sum(  # noqa: E731 — one-hot level metadata select
+        jnp.where(oh, a.astype(jnp.float32), 0.0), axis=-1)
+    cell = fsel(pyr.cells)
+    off = fsel(pyr.offsets).astype(jnp.int32)
+    lw = fsel(pyr.widths).astype(jnp.int32)
+    lh = fsel(pyr.heights).astype(jnp.int32)
+
+    cx = jnp.minimum(jnp.floor(lo[..., 0] / cell).astype(jnp.int32), lw - 1)
+    cy = jnp.minimum(jnp.floor(lo[..., 1] / cell).astype(jnp.int32), lh - 1)
+    quad = pyr.rows[off + cy * lw + cx]                   # (..., 4)
+    return jnp.min(quad, axis=-1)
+
+
+def _point_min_l0(pyr: ResidualPyramid, p: jnp.ndarray) -> jnp.ndarray:
+    """Lower bound of R over [p - FOOT, p + FOOT]: level-0 cells (base >=
+    2*FOOT) always cover a point footprint with one quad window."""
+    lw = pyr.widths[0]
+    lh = pyr.heights[0]
+    lo = p - FOOT
+    cx = jnp.clip(jnp.floor(lo[..., 0] / pyr.base).astype(jnp.int32),
+                  0, lw - 1)
+    cy = jnp.clip(jnp.floor(lo[..., 1] / pyr.base).astype(jnp.int32),
+                  0, lh - 1)
+    quad = pyr.rows[cy * lw + cx]                         # (..., 4)
+    return jnp.min(quad, axis=-1)
+
+
+def _probe_bound(pyr: ResidualPyramid, q: jnp.ndarray, size: jnp.ndarray):
+    """Analytic lower bound of the dual-sampled stored depth at screen
+    point q (pixels), BEFORE adding the box min-R: handles the horizon
+    clamp (min(plane,1) is concave, so bilinear reproduction only holds
+    where the footprint is entirely on one side) and the edge-clamp band
+    at the screen border."""
+    a, b, c = pyr.plane[0], pyr.plane[1], pyr.plane[2]
+    plane_q = a * q[..., 0] + b * q[..., 1] + c
+    m = (jnp.abs(a) + jnp.abs(b)) * (FOOT + 0.5)
+    bound = jnp.where(
+        plane_q + m <= 1.0, plane_q,
+        jnp.where(plane_q - m >= 1.0, 1.0,
+                  jnp.minimum(plane_q, 1.0) - m))
+    band = ((q[..., 0] < FOOT) | (q[..., 0] > size[0] - FOOT)
+            | (q[..., 1] < FOOT) | (q[..., 1] > size[1] - FOOT))
+    return bound - jnp.where(band, m, 0.0)
+
+
+def _certify_probes(pyr: ResidualPyramid, march_start, march_dir, jitter,
+                    size, min_r):
+    """AND over the 8 linear probes of 'provably no hit': probe out of
+    bounds (skipped by the march) or ray_ndc below the stored-depth lower
+    bound. All-certified rays never intersect, so bisection is moot and
+    the term is exactly 1."""
+    cert = jnp.ones(jitter.shape, bool)
+    for step in range(LINEAR_STEPS):
+        t = (step + jitter) / LINEAR_STEPS
+        cs = march_start + march_dir * t[..., None]
+        uv = cs[..., :2] * 0.5 + 0.5
+        inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
+               & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
+        q = uv * size
+        bound = _probe_bound(pyr, q, size)
+        ok = cs[..., 2] <= bound + min_r - pyr.eps
+        cert = cert & (~inb | ok)
+    return cert
+
+
+def contact_classify(pyr: ResidualPyramid, march_start, march_dir, jitter,
+                     cand, depth_shape):
+    """Stage-1 dense certification: whole-ray box min-R (one pyramid row
+    per pixel) + analytic per-probe bounds. Returns the stage-2 candidate
+    mask (hit possible)."""
+    hd, wd = depth_shape
+    size = jnp.asarray([wd, hd], jnp.float32)
+    p0 = (march_start[..., :2] * 0.5 + 0.5) * size
+    p1 = ((march_start[..., :2] + march_dir[..., :2]) * 0.5 + 0.5) * size
+    lo = jnp.clip(jnp.minimum(p0, p1) - FOOT, 0.0, size - 1.0)
+    hi = jnp.clip(jnp.maximum(p0, p1) + FOOT, 0.0, size - 1.0)
+    min_r = _box_min(pyr, lo, hi)
+    cert = _certify_probes(pyr, march_start, march_dir, jitter, size,
+                           min_r)
+    return cand & ~cert
+
+
+def contact_occupancy(world: jnp.ndarray, normal: jnp.ndarray,
+                      uni: FrameUniforms, prev_depth: jnp.ndarray, y0=0,
+                      valid: jnp.ndarray | None = None):
+    """Diagnostic: dense per-stage counts for sizing
+    GltfConfig.contact_capacity / contact_march_capacity (run offline;
+    the stage-2 refine is evaluated densely here)."""
+    h, w = world.shape[:2]
+    hd, wd = prev_depth.shape
+    size = jnp.asarray([wd, hd], jnp.float32)
+    plane = fit_ground_plane(uni.prev_view_proj, wd, hd, uni.camera_pos)
+    pyr = build_residual_pyramid(prev_depth, plane)
+    march_start, march_dir, on_screen, facing = _ray_setup(world, normal,
+                                                           uni)
+    jitter = _jitter(h, w, y0, uni.debug_flags[3])
+    cand = facing & on_screen
+    if valid is not None:
+        cand = cand & valid
+    stage2 = contact_classify(pyr, march_start, march_dir, jitter, cand,
+                              prev_depth.shape)
+
+    cert2 = jnp.ones(jitter.shape, bool)
+    for step in range(LINEAR_STEPS):
+        t = (step + jitter) / LINEAR_STEPS
+        cs = march_start + march_dir * t[..., None]
+        uv = cs[..., :2] * 0.5 + 0.5
+        inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
+               & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
+        q = uv * size
+        ok = cs[..., 2] <= (_probe_bound(pyr, q, size)
+                            + _point_min_l0(pyr, q) - pyr.eps)
+        cert2 = cert2 & (~inb | ok)
+    return {"contact_stage2": jnp.sum(stage2),
+            "contact_march": jnp.sum(stage2 & ~cert2)}
+
+
+def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
+                                  uni: FrameUniforms,
+                                  prev_depth: jnp.ndarray, y0=0,
+                                  capacity: int | None = None,
+                                  march_capacity: int | None = None,
+                                  valid: jnp.ndarray | None = None
+                                  ) -> jnp.ndarray:
+    """Sparse-exact contact shadows: identical outputs to
+    compute_contact_shadow where `valid` (geometry coverage — sky pixels'
+    terms are never consumed downstream). `capacity` bounds the stage-2
+    per-probe-refine set (default pixels // 4), `march_capacity` the
+    exact-march set (default capacity // 4); overflow at either falls back
+    to the dense march (exact, slower). Size both from
+    utils.diagnostics.measure_sparse_occupancy."""
+    from ..ops.compact import Compacted, compact_indices, gather_rows, \
+        scatter_back
+
+    h, w = world.shape[:2]
+    hd, wd = prev_depth.shape
+    n = h * w
+    cap2 = capacity if capacity is not None else max(n // 4, 256)
+    cap3 = march_capacity if march_capacity is not None else max(
+        cap2 // 4, 256)
+    size = jnp.asarray([wd, hd], jnp.float32)
+
+    depth_packed = jax.lax.optimization_barrier(quad_pack(prev_depth))
+    # The residual plane belongs to prev_depth's frame: prev_view_proj.
+    plane = fit_ground_plane(uni.prev_view_proj, wd, hd, uni.camera_pos)
+    pyr = build_residual_pyramid(prev_depth, plane)
+
+    march_start, march_dir, on_screen, facing = _ray_setup(world, normal,
+                                                           uni)
+    jitter = _jitter(h, w, y0, uni.debug_flags[3])
+
+    # Footprints are in DEPTH-BUFFER pixels (uv spans the full frame even
+    # when this slab is subsampled or row-sharded).
+    cand = facing & on_screen
+    if valid is not None:
+        cand = cand & valid
+
+    stage2 = contact_classify(pyr, march_start, march_dir, jitter, cand,
+                              prev_depth.shape)
+
+    comp2 = compact_indices(stage2, cap2)
+    payload = jnp.concatenate(
+        [march_start, march_dir, jitter[..., None]], axis=-1).reshape(n, 7)
+    rows2 = gather_rows(payload, comp2)
+    start2, dir2, jit2 = rows2[:, 0:3], rows2[:, 3:6], rows2[:, 6]
+
+    # Stage 2: re-certify with tight per-probe level-0 boxes (8 small
+    # gathers per compacted pixel) — retires the shell created by stage
+    # 1's whole-ray box dilation around real occluders.
+    cert2 = jnp.ones((cap2,), bool)
+    for step in range(LINEAR_STEPS):
+        t = (step + jit2) / LINEAR_STEPS
+        cs = start2 + dir2 * t[..., None]
+        uv = cs[..., :2] * 0.5 + 0.5
+        inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
+               & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
+        q = uv * size
+        min_r = _point_min_l0(pyr, q)
+        bound = _probe_bound(pyr, q, size)
+        ok = cs[..., 2] <= bound + min_r - pyr.eps
+        cert2 = cert2 & (~inb | ok)
+
+    # Stage 3: exact march on the survivors (compacted within comp2's
+    # slot domain, then composed back to global flat indices).
+    stage3 = comp2.slot_valid & ~cert2
+    comp3_local = compact_indices(stage3, cap3)
+    safe_slot = jnp.maximum(comp3_local.idx, 0)
+    comp3 = Compacted(
+        idx=jnp.where(comp3_local.slot_valid, comp2.idx[safe_slot], -1),
+        slot_valid=comp3_local.slot_valid,
+        count=comp3_local.count)
+
+    fits = (comp2.count <= cap2) & (comp3.count <= cap3)
+
+    def eval_sparse(_):
+        dense = jnp.ones((n,), jnp.float32)
+        rows = gather_rows(payload, comp3)
+        inter, max_t, last_pen = _march(depth_packed, rows[:, 0:3],
+                                        rows[:, 3:6], rows[:, 6])
+        term = _soft_term(inter & comp3.slot_valid, max_t, last_pen)
+        return scatter_back(dense, comp3, term).reshape(h, w)
+
+    def eval_dense(_):
+        # Capacity-overflow fallback: full dense march (only the taken
+        # lax.cond branch runs — overflow costs speed, never correctness).
+        inter, max_t, last_pen = _march(depth_packed, march_start,
+                                        march_dir, jitter)
+        return _soft_term(inter & cand, max_t, last_pen)
+
+    return jax.lax.cond(fits, eval_sparse, eval_dense, operand=None)

@@ -1,0 +1,205 @@
+"""Shadow-map LIT/UMBRA/PENUMBRA classification for sparse filtering.
+
+The reference GPU retires cheap shadow pixels through fragment-shader
+early-outs (gltf.frag:402-423) and brute-forces the rest; on TPU every tap
+is a serial-loop gather row and masking saves nothing, so we classify
+pixels FIRST with dense light-space prefilters and run the exact 16+16-tap
+evaluation only on the compacted penumbra set (ops/compact.py).
+
+Why not a plain dilated min/max of stored depth? Receivers SLOPE in light
+space: the ground plane's own stored depth decreases toward the light, so
+within any window the min dips below `receiver - bias` and nothing would
+ever classify lit — even though the exact evaluation is trivially lit
+(every ground pixel "finds blockers" among its downhill neighbors, the
+penumbra estimate clamps to 0.5 texels, gltf.frag:429, and all compare
+taps within that radius pass). The classification must therefore be
+slope-proof. The trick: anchor each pixel to the stored depth at its own
+texel, d(s_px) (ONE gather from the raw map), and precompute per coarse
+cell the worst-case LOCAL RELIEF of the map:
+
+    drop_r(c) = max over texels s in cell c of [ d(s) - min_{|t-s|<=r} d(t) ]
+    rise_U(c) = max over s in c of [ max_{|t-s|<=U} d(t) - d(s) ]
+
+Soundness (receiver = proj_z - bias, the exact biased compare value):
+
+  LIT:   min over taps d >= d(s_px) - drop_r(cell)   [cell-max def]
+         so  proj_z - d(s_px) <= bias - drop_r(cell)
+         implies every compare tap passes => m1 = m2 = 1 exactly.
+         Kernel radius may be 0 (no blockers) or the clamped penumbra —
+         but with zero tap variance the TAA output is 1 for ANY radius,
+         so the closed form is output-exact (blend bands still need both
+         cascades closed; see shadow_filter.cascaded_shadow_sparse).
+  UMBRA: max over taps d <= d(s_px) + rise_U(cell)
+         so  proj_z - d(s_px) >= bias + rise_U(cell)  (and receiver <= 1,
+         else the white border could read as a blocker while compares
+         still return lit) implies every compare is shadowed AND every
+         blocker-search tap hits => m1 = m2 = 0 exactly.
+
+  The tap radius r for LIT is the PCSS penumbra, bounded per pixel from
+  the blocker-window relief:  blocker_depth >= d(s_px) - drop_Lw(cell),
+  so penumbra <= clip((receiver - bd_low)/bd_low * L, 0.5, 2L); we pick
+  the smallest precomputed drop window >= bound + 2 (nearest/bilinear
+  footprint + pixel-to-texel-center margin). A window larger than the
+  taps is conservative, never wrong.
+
+Windows are EXACT-reach dilations (over-reach on the smallest rung would
+eat the tiny depth bias the flat-ground case lives on). Softness is a
+traced uniform: frames with softness > max_softness disable the closed
+forms entirely (everything penumbra = exact, just slower).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+BORDER_DEPTH = 1.0   # CLAMP_TO_BORDER white (gltf_renderer.rs:806-833)
+# Drop-window ladder (fine texels). The smallest rung carries the whole
+# flat-ground case (penumbra clamps to 0.5 => taps within 2.5 texels) and
+# fights the receiver slope for the depth bias — keep it tight. The top
+# rung must cover pen_bound + 2 for pen_bound <= 2 * L_max =
+# 4 * max_softness (default 16 -> 18 <= 34).
+DROP_LADDER = (3, 6, 12, 20, 34)
+FOOT_MARGIN = 2.0    # tap footprint: nearest/bilinear corners + px offset
+
+
+class ShadowClassMaps(NamedTuple):
+    """Per-cascade relief statistics + the raw map for anchor gathers."""
+    raw_rows: jnp.ndarray   # (L * S * S,) raw cascade depth, flattened
+    cell_rows: jnp.ndarray  # (L * Sc * Sc, K) [drop_ladder..., drop_Lw,
+    #                          rise_U] per coarse cell
+    size: int               # S
+    coarse: int             # fine texels per cell
+    max_softness: float     # static classification budget
+
+
+def _dilate_exact(x: jnp.ndarray, reach: int, reduce_fn, pad_value: float,
+                  collect_at: Sequence[int] = ()):
+    """Exact-reach square dilation of (L, H, W) via composable shifts
+    (after reach R, a +-s shift extends to R+s for any s <= R+1).
+    Returns {reach: array} for every requested reach (all must be
+    reachable by the step sequence 1, 1, 2, 4, ... with truncation).
+
+    Shifts are STATIC SLICES + pad — never jnp.take/roll with an iota,
+    which XLA TPU lowers to its serial gather loop (measured: the
+    take-based version cost ~170 ms/frame at 4x2048^2; slices are pure
+    HBM streams)."""
+    want = sorted(set(collect_at) | {reach})
+    out = {}
+    done = 0
+    while True:
+        if done in want:
+            out[done] = x
+        if done >= reach:
+            break
+        nxt = min((w for w in want if w > done))
+        step = min(max(done, 1), nxt - done)
+        for axis in (1, 2):
+            n = x.shape[axis]
+            s = min(step, n)
+            pad_shape = list(x.shape)
+            pad_shape[axis] = s
+            pad = jnp.full(pad_shape, pad_value, x.dtype)
+            fwd = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, s, n, axis=axis), pad], axis=axis)
+            bwd = jnp.concatenate(
+                [pad, jax.lax.slice_in_dim(x, 0, n - s, axis=axis)],
+                axis=axis)
+            x = reduce_fn(reduce_fn(x, fwd), bwd)
+        done += step
+    return out
+
+
+def _cell_max(x: jnp.ndarray, coarse: int) -> jnp.ndarray:
+    l, s, _ = x.shape
+    sc = s // coarse
+    return x.reshape(l, sc, coarse, sc, coarse).max(axis=(2, 4))
+
+
+def blocker_window(max_softness: float) -> int:
+    # blocker search radius = lightSizeTexels = 2 * softness
+    # (gltf.frag:415) + nearest-tap footprint margin
+    return math.ceil(2.0 * max_softness + FOOT_MARGIN)
+
+
+def rise_window(max_softness: float) -> int:
+    # covers both the blocker search and the widest PCF kernel (2L)
+    return math.ceil(4.0 * max_softness + FOOT_MARGIN)
+
+
+def build_class_maps(shadow_maps: jnp.ndarray, coarse: int = 8,
+                     max_softness: float = 4.0) -> ShadowClassMaps:
+    """Build classification maps from raw cascade depth (L, S, S)."""
+    l, s, _ = shadow_maps.shape
+    assert (s // coarse) * coarse == s
+    lw = blocker_window(max_softness)
+    uw = rise_window(max_softness)
+    assert DROP_LADDER[-1] >= math.ceil(4.0 * max_softness + FOOT_MARGIN), \
+        "drop ladder must cover the max PCSS penumbra"
+
+    radii = sorted(set(DROP_LADDER) | {lw})
+    mins = _dilate_exact(shadow_maps, radii[-1], jnp.minimum, BORDER_DEPTH,
+                         collect_at=radii)
+    drops = {r: _cell_max(shadow_maps - mins[r], coarse) for r in radii}
+    maxs = _dilate_exact(shadow_maps, uw, jnp.maximum, BORDER_DEPTH)
+    rise = _cell_max(maxs[uw] - shadow_maps, coarse)
+
+    cell = jnp.stack([drops[r] for r in DROP_LADDER]
+                     + [drops[lw], rise], axis=-1)     # (L, Sc, Sc, K)
+    sc = s // coarse
+    return ShadowClassMaps(
+        raw_rows=shadow_maps.reshape(l * s * s),
+        cell_rows=cell.reshape(l * sc * sc, len(DROP_LADDER) + 2),
+        size=s, coarse=coarse, max_softness=max_softness)
+
+
+def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
+             receiver: jnp.ndarray, softness: jnp.ndarray,
+             use_pcss: bool):
+    """Per-pixel class for one cascade: returns (lit, umbra) bool arrays.
+
+    receiver: biased compare reference (proj_z - bias). TWO gathered rows
+    per element (anchor texel depth + cell stats)."""
+    s = cmaps.size
+    sc = s // cmaps.coarse
+    px = jnp.clip(jnp.floor(uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
+    py = jnp.clip(jnp.floor(uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
+    anchor = cmaps.raw_rows[(layer * s + py) * s + px]
+
+    cx = px // cmaps.coarse
+    cy = py // cmaps.coarse
+    cell = cmaps.cell_rows[(layer * sc + cy) * sc + cx]   # (..., K)
+    n_ladder = len(DROP_LADDER)
+    drop_lw = cell[..., n_ladder]
+    rise_u = cell[..., n_ladder + 1]
+
+    # excess = receiver - d(s_px): how far the receiver sits BELOW the
+    # stored surface at its own texel (positive = deeper = more occluded).
+    excess = receiver - anchor
+
+    if use_pcss:
+        light_size = softness * 2.0                       # gltf.frag:415
+        bd_low = anchor - drop_lw
+        ratio_bound = (receiver - bd_low) / jnp.maximum(bd_low, 1e-8)
+        pen_bound = jnp.clip(ratio_bound * light_size, 0.5,
+                             light_size * 2.0)
+        need_r = pen_bound + FOOT_MARGIN
+    else:
+        radius = jnp.maximum(softness, 0.5)               # gltf.frag:456
+        need_r = jnp.broadcast_to(radius + FOOT_MARGIN, excess.shape)
+
+    # smallest ladder drop window covering the taps
+    drop_sel = cell[..., n_ladder - 1]
+    for i in range(n_ladder - 2, -1, -1):
+        drop_sel = jnp.where(need_r <= DROP_LADDER[i], cell[..., i],
+                             drop_sel)
+
+    ok = softness <= cmaps.max_softness
+    lit = (excess <= -drop_sel) & (need_r <= DROP_LADDER[-1]) & ok
+    # receiver > 1 could turn the white border into a "blocker" for taps
+    # outside the map while compare taps still read lit — exclude.
+    umbra = (excess > rise_u) & (receiver <= BORDER_DEPTH) & ok
+    return lit, umbra

@@ -122,19 +122,15 @@ def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
     return uv, receiver, bias, in_bounds
 
 
-def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
-                cascade: jnp.ndarray, world: jnp.ndarray,
-                normal: jnp.ndarray, n_dot_l: jnp.ndarray,
-                phi: jnp.ndarray) -> ShadowResult:
-    """PCSS with contact hardening (gltf.frag:366-450).
+def _pcss_taps(uni: FrameUniforms, shadow_maps: jnp.ndarray,
+               layer: jnp.ndarray, uv: jnp.ndarray, receiver: jnp.ndarray,
+               phi: jnp.ndarray):
+    """The PCSS tap core (gltf.frag:366-449) on arbitrary batch shapes:
+    blocker search + penumbra estimate + penumbra-radius PCF.
 
-    shadow_maps: quad-packed cascades (4, S, S, 4) from
-    ops.sampling.quad_pack."""
-    uv, receiver, bias, in_bounds = _light_project(
-        uni, cascade, world, normal, n_dot_l)
-    receiver = receiver - bias                            # gltf.frag:410
+    receiver is already biased (gltf.frag:410). Returns
+    (m1, m2, penumbra, has_blockers)."""
     texel = uni.shadow_map_size[2]
-
     light_size_texels = uni.shadow_bias[0] * 2.0          # gltf.frag:415
 
     # Step 1: blocker search (gltf.frag:366-388). The raw-depth sampler is
@@ -144,7 +140,7 @@ def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     for i in range(BLOCKER_SAMPLES):
         dx, dy = vogel_disk(i, BLOCKER_SAMPLES, phi)
         off = jnp.stack([dx, dy], axis=-1) * (light_size_texels * texel)
-        d = sample_nearest_border_packed(shadow_maps, cascade, uv + off,
+        d = sample_nearest_border_packed(shadow_maps, layer, uv + off,
                                          border=1.0)
         hit = d < receiver
         blocker_sum = blocker_sum + jnp.where(hit, d, 0.0)
@@ -165,13 +161,28 @@ def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     for i in range(PCF_SAMPLES):
         dx, dy = vogel_disk(i, PCF_SAMPLES, phi)
         off = jnp.stack([dx, dy], axis=-1) * (penumbra * texel)[..., None]
-        s = sample_shadow_compare_packed(shadow_maps, cascade, uv + off,
+        s = sample_shadow_compare_packed(shadow_maps, layer, uv + off,
                                          receiver)
         s_sum = s_sum + s
         s_sum2 = s_sum2 + s * s
 
-    m1 = s_sum / PCF_SAMPLES
-    m2 = s_sum2 / PCF_SAMPLES
+    return s_sum / PCF_SAMPLES, s_sum2 / PCF_SAMPLES, penumbra, has_blockers
+
+
+def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
+                cascade: jnp.ndarray, world: jnp.ndarray,
+                normal: jnp.ndarray, n_dot_l: jnp.ndarray,
+                phi: jnp.ndarray) -> ShadowResult:
+    """PCSS with contact hardening (gltf.frag:366-450).
+
+    shadow_maps: quad-packed cascades (4, S, S, 4) from
+    ops.sampling.quad_pack."""
+    uv, receiver, bias, in_bounds = _light_project(
+        uni, cascade, world, normal, n_dot_l)
+    receiver = receiver - bias                            # gltf.frag:410
+
+    m1, m2, penumbra, has_blockers = _pcss_taps(
+        uni, shadow_maps, cascade, uv, receiver, phi)
 
     # No blockers or out of bounds => fully lit (gltf.frag:402-403,420-423).
     lit = ~has_blockers | ~in_bounds
@@ -184,16 +195,13 @@ def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     )
 
 
-def shadow_pcf(uni: FrameUniforms, shadow_maps: jnp.ndarray,
-               cascade: jnp.ndarray, world: jnp.ndarray,
-               normal: jnp.ndarray, n_dot_l: jnp.ndarray,
-               phi: jnp.ndarray) -> ShadowResult:
-    """Fixed-radius PCF (gltf.frag:453-507)."""
-    uv, depth_ref, bias, in_bounds = _light_project(
-        uni, cascade, world, normal, n_dot_l)
+def _pcf_taps(uni: FrameUniforms, shadow_maps: jnp.ndarray,
+              layer: jnp.ndarray, uv: jnp.ndarray, ref: jnp.ndarray,
+              phi: jnp.ndarray):
+    """Fixed-radius PCF tap core (gltf.frag:453-507) on arbitrary batch
+    shapes; ref is already biased. Returns (m1, m2, kernel)."""
     texel = uni.shadow_map_size[2]
     radius = jnp.maximum(uni.shadow_bias[0], 0.5)
-    ref = depth_ref - bias
 
     def taps_3x3(_):
         s_sum = jnp.zeros_like(ref)
@@ -201,7 +209,7 @@ def shadow_pcf(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 off = jnp.asarray([dx, dy], jnp.float32) * texel
-                s = sample_shadow_compare_packed(shadow_maps, cascade,
+                s = sample_shadow_compare_packed(shadow_maps, layer,
                                                  uv + off, ref)
                 s_sum = s_sum + s
                 s_sum2 = s_sum2 + s * s
@@ -213,7 +221,7 @@ def shadow_pcf(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         for i in range(PCF_SAMPLES):
             dx, dy = vogel_disk(i, PCF_SAMPLES, phi)
             off = jnp.stack([dx, dy], axis=-1) * (radius * texel)
-            s = sample_shadow_compare_packed(shadow_maps, cascade,
+            s = sample_shadow_compare_packed(shadow_maps, layer,
                                              uv + off, ref)
             s_sum = s_sum + s
             s_sum2 = s_sum2 + s * s
@@ -222,8 +230,26 @@ def shadow_pcf(uni: FrameUniforms, shadow_maps: jnp.ndarray,
 
     # Frame-uniform branch (radius is a per-frame scalar): only one path
     # executes (gltf.frag:474 "Cheap 3x3 for hard shadows").
-    m1, m2, kernel = jax.lax.cond(radius <= 1.25, taps_3x3, taps_vogel,
-                                  operand=None)
+    return jax.lax.cond(radius <= 1.25, taps_3x3, taps_vogel, operand=None)
+
+
+def pcf_frame_kernel(uni: FrameUniforms) -> jnp.ndarray:
+    """The frame-constant PCF kernel radius the reference reports in
+    ShadowResult (1.0 on the 3x3 fast path, else the Vogel radius)."""
+    radius = jnp.maximum(uni.shadow_bias[0], 0.5)
+    return jnp.where(radius <= 1.25, 1.0, radius)
+
+
+def shadow_pcf(uni: FrameUniforms, shadow_maps: jnp.ndarray,
+               cascade: jnp.ndarray, world: jnp.ndarray,
+               normal: jnp.ndarray, n_dot_l: jnp.ndarray,
+               phi: jnp.ndarray) -> ShadowResult:
+    """Fixed-radius PCF (gltf.frag:453-507)."""
+    uv, depth_ref, bias, in_bounds = _light_project(
+        uni, cascade, world, normal, n_dot_l)
+    ref = depth_ref - bias
+
+    m1, m2, kernel = _pcf_taps(uni, shadow_maps, cascade, uv, ref, phi)
 
     one = jnp.ones_like(m1)
     return ShadowResult(
@@ -266,3 +292,183 @@ def cascaded_shadow(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     s = mix_shadow(s0, s1, t)
     # Where t == 0 the reference never evaluates s1; mix(a,a,0)=a matches.
     return s, c0, c1, t
+
+
+# ---------------------------------------------------------------------------
+# Sparse evaluation: classify -> compact -> exact taps on penumbra pixels.
+#
+# Gathers dominate the shadow stack on TPU (PERF.md), and masking does not
+# save them. The conservative LIT/UMBRA classification
+# (passes/shadow_classify.py) yields the EXACT reference result in closed
+# form for most pixels; only penumbra pixels (and umbra pixels inside a
+# cascade-blend band, whose PCSS kernel radius feeds the TAA variance
+# clamp) run the real 16+16 taps, on a compacted list.
+# ---------------------------------------------------------------------------
+
+
+def _classified_project(uni: FrameUniforms, cmaps, cascade, world, normal,
+                        n_dot_l, softness, use_pcss):
+    from .shadow_classify import classify
+
+    uv, receiver, bias, inb = _light_project(uni, cascade, world, normal,
+                                             n_dot_l)
+    receiver = receiver - bias                            # gltf.frag:410
+    lit, umbra = classify(cmaps, cascade, uv, receiver, softness, use_pcss)
+    return uv, receiver, inb, lit, umbra
+
+
+def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
+                           cmaps, world: jnp.ndarray, normal: jnp.ndarray,
+                           n_dot_l: jnp.ndarray, view_depth: jnp.ndarray,
+                           screen_pos: jnp.ndarray, use_pcss: bool,
+                           valid: jnp.ndarray | None = None,
+                           capacity: int | None = None):
+    """Sparse-exact main shadow evaluation: identical outputs to
+    `cascaded_shadow` (bit-exact while the compaction capacity holds; on
+    overflow the excess penumbra pixels degrade to fully lit).
+
+    Args:
+      cmaps: ShadowClassMaps built from the raw cascade depths.
+      valid: (H, W) bool — pixels actually covered by geometry (sky pixels
+        never consume tap budget; their shadow value is unused).
+      capacity: static max penumbra (pixel, cascade) pairs; default
+        H*W // 16. Overflow falls back to the dense evaluation (exact).
+    """
+    from ..ops.compact import compact_indices, gather_rows, scatter_back
+
+    c0, c1, t = select_cascade_blend(view_depth, uni.cascade_splits)
+    phi = shadow_frame_phi(screen_pos, uni.debug_flags[3], uni.debug_flags[2])
+    softness = uni.shadow_bias[0]
+
+    h, w = c0.shape
+    n = h * w
+    cap = capacity if capacity is not None else max(n // 16, 256)
+    if valid is None:
+        valid = jnp.ones((h, w), bool)
+    blend = t > 0.0
+
+    uv0, r0, inb0, lit0, um0 = _classified_project(
+        uni, cmaps, c0, world, normal, n_dot_l, softness, use_pcss)
+    uv1, r1, inb1, lit1, um1 = _classified_project(
+        uni, cmaps, c1, world, normal, n_dot_l, softness, use_pcss)
+
+    if use_pcss:
+        # A PCSS closed form fixes m1/m2 but NOT the kernel radius (a lit
+        # pixel's penumbra may be 0 or the 0.5-clamped estimate), and the
+        # radius feeds the TAA variance clamp — which only matters when
+        # the mixed tap variance is nonzero. So outside blend bands any
+        # closed class is output-exact; inside, the PAIR must be closed
+        # the same way ((lit,lit) => 1, (umbra,umbra) => 0), else both
+        # cascades evaluate exactly. Out-of-bounds acts as lit with a
+        # known radius 0 (gltf.frag:402-403).
+        lit0e = lit0 | ~inb0
+        lit1e = lit1 | ~inb1
+        closed = jnp.where(blend, (lit0e & lit1e) | (um0 & um1),
+                           lit0e | um0)
+        needs0 = valid & inb0 & ~closed
+        needs1 = valid & inb1 & blend & ~closed
+    else:
+        # PCF's kernel radius is a frame constant: classes are
+        # independently closed per cascade.
+        needs0 = valid & inb0 & ~lit0 & ~um0
+        needs1 = valid & inb1 & blend & ~lit1 & ~um1
+
+    # Dense closed-form results; penumbra placeholders are overwritten by
+    # the scatter.
+    def dense_base(inb, umbra):
+        one = jnp.ones((h, w), jnp.float32)
+        m = jnp.where(umbra & inb, 0.0, 1.0)
+        if use_pcss:
+            r = jnp.zeros((h, w), jnp.float32)        # lit radius == 0
+        else:
+            r = jnp.where(inb, pcf_frame_kernel(uni), 0.0)
+        return jnp.stack([m, m, m, r], axis=-1)       # (h, w, 4)
+
+    needs = jnp.stack([needs0, needs1])               # (2, h, w)
+    comp = compact_indices(needs, cap)
+
+    def eval_sparse(_):
+        """Exact taps on the compacted penumbra pairs, scattered into the
+        closed-form base."""
+        dense = jnp.stack([dense_base(inb0, um0), dense_base(inb1, um1)])
+        payload = jnp.stack([
+            jnp.stack([uv0[..., 0], uv0[..., 1], r0,
+                       c0.astype(jnp.float32)], axis=-1),
+            jnp.stack([uv1[..., 0], uv1[..., 1], r1,
+                       c1.astype(jnp.float32)], axis=-1),
+        ])                                             # (2, h, w, 4)
+        rows = gather_rows(payload.reshape(2 * n, 4), comp)
+        phi_e = gather_rows(jnp.tile(phi.reshape(n), 2), comp)
+        uv_e = rows[:, :2]
+        recv_e = rows[:, 2]
+        layer_e = rows[:, 3].astype(jnp.int32)
+
+        if use_pcss:
+            m1, m2, pen, hasb = _pcss_taps(uni, shadow_maps, layer_e, uv_e,
+                                           recv_e, phi_e)
+            one = jnp.ones_like(m1)
+            # Entries are in-bounds by construction; the no-blocker lit
+            # override still applies (classification is conservative).
+            vals = jnp.stack([jnp.where(hasb, m1, one),
+                              jnp.where(hasb, m1, one),
+                              jnp.where(hasb, m2, one),
+                              jnp.where(hasb, pen, 0.0)], axis=-1)
+        else:
+            m1, m2, kern = _pcf_taps(uni, shadow_maps, layer_e, uv_e,
+                                     recv_e, phi_e)
+            vals = jnp.stack([m1, m1, m2, kern], axis=-1)
+
+        return scatter_back(dense.reshape(2 * n, 4), comp, vals)
+
+    def eval_dense(_):
+        """Capacity-overflow fallback: the full dense evaluation. Only the
+        taken lax.cond branch executes at runtime, so correctness never
+        depends on the capacity guess — overflow just costs dense speed."""
+        fn = shadow_pcss if use_pcss else shadow_pcf
+        sd0 = fn(uni, shadow_maps, c0, world, normal, n_dot_l, phi)
+        sd1 = fn(uni, shadow_maps, c1, world, normal, n_dot_l, phi)
+        return jnp.stack([jnp.stack(sd0, axis=-1),
+                          jnp.stack(sd1, axis=-1)]).reshape(2 * n, 4)
+
+    out = jax.lax.cond(comp.count <= cap, eval_sparse, eval_dense,
+                       operand=None)
+    out = out.reshape(2, h, w, 4)
+    s0 = ShadowResult(out[0, ..., 0], out[0, ..., 1], out[0, ..., 2],
+                      out[0, ..., 3])
+    s1 = ShadowResult(out[1, ..., 0], out[1, ..., 1], out[1, ..., 2],
+                      out[1, ..., 3])
+    s = mix_shadow(s0, s1, t)
+    return s, c0, c1, t
+
+
+def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
+                   view_depth, screen_pos, use_pcss: bool,
+                   valid: jnp.ndarray | None = None):
+    """Diagnostic: classification histogram + the exact-tap pair count the
+    sparse path would compact (use to size GltfConfig.shadow_pen_capacity,
+    like ops.binning.bin_stats for raster capacities)."""
+    c0, c1, t = select_cascade_blend(view_depth, uni.cascade_splits)
+    softness = uni.shadow_bias[0]
+    if valid is None:
+        valid = jnp.ones(c0.shape, bool)
+    blend = t > 0.0
+    _, _, inb0, lit0, um0 = _classified_project(
+        uni, cmaps, c0, world, normal, n_dot_l, softness, use_pcss)
+    _, _, inb1, lit1, um1 = _classified_project(
+        uni, cmaps, c1, world, normal, n_dot_l, softness, use_pcss)
+    if use_pcss:
+        lit0e = lit0 | ~inb0
+        lit1e = lit1 | ~inb1
+        closed = jnp.where(blend, (lit0e & lit1e) | (um0 & um1),
+                           lit0e | um0)
+        needs0 = valid & inb0 & ~closed
+        needs1 = valid & inb1 & blend & ~closed
+    else:
+        needs0 = valid & inb0 & ~lit0 & ~um0
+        needs1 = valid & inb1 & blend & ~lit1 & ~um1
+    return {
+        "pairs": jnp.sum(needs0) + jnp.sum(needs1),
+        "lit0": jnp.sum(valid & lit0),
+        "umbra0": jnp.sum(valid & um0),
+        "pixels": jnp.sum(valid),
+    }

@@ -1,0 +1,84 @@
+"""Occupancy diagnostics for the sparse-evaluation capacities.
+
+Like ops.binning.bin_stats for raster bins: the sparse shadow/contact
+paths have static compaction capacities whose padded slots still pay
+gather cost, and whose overflow falls back to the (slow, exact) dense
+path — so tune them from measured counts with headroom.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _frame_intermediates(scene, params, state, cfg):
+    """Re-run the front half of render_gltf_frame up to the shade inputs
+    (same code paths; see funky_tpu/frame.py)."""
+    from ..frame import _main_raster_inputs, compute_frame_uniforms
+    from ..ops.raster import raster_corners
+    from ..passes import deferred, geometry, shadow
+    from ..passes.shadow_classify import build_class_maps
+
+    uni = compute_frame_uniforms(params, state, cfg)
+    world_v, clip, normals_v = geometry.transform_vertices(
+        scene, uni.models, uni.view_proj)
+    blocks = geometry.build_shade_blocks(scene, world_v, clip, normals_v)
+    raw = shadow.render_shadow_maps(
+        world_v, scene.tri_indices, scene.num_triangles,
+        uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
+    cmaps = build_class_maps(raw, cfg.class_coarse, cfg.max_softness)
+    tri_clip, blocks, tri_flags, tri_valid = _main_raster_inputs(
+        scene, clip, blocks, cfg.clip_capacity)
+    tri_id, depth, setup = raster_corners(
+        tri_clip, tri_valid, cfg.width, cfg.height, cfg.raster)
+    g = deferred.interpolate(tri_id, depth, setup.data, blocks,
+                             tri_flags)
+    normal = g.normal / jnp.maximum(
+        jnp.linalg.norm(g.normal, axis=-1, keepdims=True), 1e-12)
+    n_dot_l = jnp.maximum(jnp.sum(normal * uni.light_dir, axis=-1), 0.0)
+    view_depth = -((g.world @ uni.view[2, :3].T) + uni.view[2, 3])
+    return uni, cmaps, g, normal, n_dot_l, view_depth
+
+
+def sparse_occupancy(scene, params, state, cfg):
+    """Counts for sizing GltfConfig.shadow_pen_capacity /
+    contact_capacity on a representative (scene, view): dict of traced
+    scalars (int() them outside jit). `state` should carry a real
+    prev_depth (render one frame first) or contact candidates read as 0.
+    """
+    from ..passes import contact, shadow_filter
+
+    scale = cfg.flags.effective_shadow_scale
+    uni, cmaps, g, normal, n_dot_l, view_depth = _frame_intermediates(
+        scene, params, state, cfg)
+    h, w = g.depth.shape
+    frag = jnp.stack([
+        jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5,
+                         (h, w)),
+        jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5,
+                         (h, w))], axis=-1)
+
+    sub = (lambda a: a[::scale, ::scale]) if scale > 1 else (lambda a: a)
+    stats = shadow_filter.classify_stats(
+        uni, cmaps, sub(g.world), sub(normal), sub(n_dot_l),
+        sub(view_depth), sub(frag), cfg.flags.use_pcss, sub(g.valid))
+
+    stats.update(contact.contact_occupancy(
+        sub(g.world), sub(normal), uni, state.prev_depth,
+        valid=sub(g.valid)))
+    return stats
+
+
+def measure_sparse_occupancy(scene, params, cfg, frames: int = 2):
+    """Convenience host-side wrapper: renders `frames` frames (so
+    prev_depth is real), then returns python-int occupancy stats."""
+    from ..frame import compiled_gltf_frame, init_frame_state
+
+    state = init_frame_state(cfg)
+    frame = compiled_gltf_frame(cfg)
+    for _ in range(frames):
+        _, state = frame(scene, params, state)
+    stats = jax.jit(sparse_occupancy, static_argnums=(3,))(
+        scene, params, state, cfg)
+    return {k: int(v) for k, v in stats.items()}

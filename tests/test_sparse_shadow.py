@@ -1,0 +1,273 @@
+"""Sparse-exact shadow filtering: compaction utils, classification
+soundness, and bit-parity of the sparse frame vs the dense path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from funky_tpu.frame import (GltfConfig, GltfFrameFlags,
+                             compiled_gltf_frame, default_gltf_params,
+                             init_frame_state)
+from funky_tpu.models.gltf import GltfScene
+from funky_tpu.models.scene import build_device_scene
+from funky_tpu.ops.compact import (compact_indices, gather_rows,
+                                   scatter_back)
+from funky_tpu.ops.raster import RasterConfig
+from funky_tpu.ops.sampling import quad_pack
+from funky_tpu.passes import shadow_classify
+
+
+# ---------------------------------------------------------------------------
+# ops/compact.py
+# ---------------------------------------------------------------------------
+
+def test_compact_roundtrip():
+    mask = np.zeros((8, 16), bool)
+    mask[2, 3] = mask[5, 1] = mask[7, 15] = True
+    comp = compact_indices(jnp.asarray(mask), capacity=8)
+    assert int(comp.count) == 3
+    idx = np.asarray(comp.idx)
+    np.testing.assert_array_equal(idx[:3], [2 * 16 + 3, 5 * 16 + 1,
+                                            7 * 16 + 15])
+    assert (idx[3:] == -1).all()
+
+    table = jnp.arange(8 * 16, dtype=jnp.float32).reshape(8 * 16, 1)
+    rows = gather_rows(table, comp)
+    np.testing.assert_array_equal(np.asarray(rows[:3, 0]),
+                                  [35.0, 81.0, 127.0])
+
+    dense = jnp.full((8 * 16, 1), -1.0)
+    out = scatter_back(dense, comp, rows * 2.0)
+    out = np.asarray(out).reshape(8, 16)
+    assert out[2, 3] == 70.0 and out[5, 1] == 162.0 and out[7, 15] == 254.0
+    assert (out == -1.0).sum() == 8 * 16 - 3
+
+
+def test_compact_overflow_and_groups():
+    mask = jnp.ones((4, 4), bool)
+    comp = compact_indices(mask, capacity=5)
+    assert int(comp.count) == 16          # true count exceeds capacity
+    assert int(comp.slot_valid.sum()) == 5
+    key = jnp.asarray(np.arange(16).reshape(4, 4) % 3, jnp.int32)
+    comp_g = compact_indices(mask, capacity=16, group_key=key)
+    keys_sorted = np.asarray(key).ravel()[np.asarray(comp_g.idx)]
+    assert (np.diff(keys_sorted) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Classification soundness: conservative by construction, checked by brute
+# force on random maps.
+# ---------------------------------------------------------------------------
+
+def _sloped_maps(key, l=2, s=256, slope=0.0001):
+    """Ground-plane-like cascades: depth slopes across uv (the case that
+    defeats naive min/max classification) plus a nearer occluder blob."""
+    x = jnp.arange(s, dtype=jnp.float32)
+    base = 0.5 + slope * x[None, None, :] + slope * 0.3 * x[None, :, None]
+    maps = jnp.broadcast_to(base, (l, s, s))
+    maps = maps.at[:, 60:180, 80:200].set(0.25)          # occluder blob
+    noise = jax.random.uniform(key, (l, s, s)) * 1e-5
+    return jnp.clip(maps + noise, 0.0, 1.0)
+
+
+def _test_uniforms(s, softness):
+    from funky_tpu.passes.uniforms import FrameUniforms
+
+    return FrameUniforms(
+        view=jnp.eye(4), proj=jnp.eye(4), view_proj=jnp.eye(4),
+        camera_pos=jnp.zeros(3), light_dir=jnp.asarray([0.0, 1.0, 0.0]),
+        light_view_proj=jnp.zeros((4, 4, 4)), cascade_splits=jnp.zeros(4),
+        shadow_map_size=jnp.asarray([s, s, 1 / s, 1 / s], jnp.float32),
+        debug_flags=jnp.zeros(4),
+        shadow_bias=jnp.asarray([softness, 0, 0, 0]),
+        prev_view_proj=jnp.eye(4), models=jnp.zeros((2, 4, 4)))
+
+
+@pytest.mark.parametrize("use_pcss", [True, False], ids=["pcss", "pcf"])
+def test_classification_sound_vs_exact_taps(use_pcss):
+    from funky_tpu.passes.shadow_filter import _pcf_taps, _pcss_taps
+
+    key = jax.random.PRNGKey(3)
+    maps = _sloped_maps(key)
+    s = maps.shape[1]
+    cmaps = shadow_classify.build_class_maps(maps, coarse=8,
+                                             max_softness=4.0)
+    packed = jax.vmap(quad_pack)(maps)
+
+    n = 8192
+    ks = jax.random.split(key, 4)
+    uv = jax.random.uniform(ks[0], (n, 2), minval=0.02, maxval=0.98)
+    layer = jax.random.randint(ks[2], (n,), 0, 2)
+    phi = jax.random.uniform(ks[3], (n,)) * 6.2831853
+    # Receivers relative to the stored surface at each sample's texel:
+    # on-surface-with-bias (ground pixels), deep below (occluded pixels),
+    # and marginal offsets around the relief scale.
+    px = jnp.floor(uv * s).astype(jnp.int32)
+    anchor = maps[layer, px[:, 1], px[:, 0]]
+    delta = jnp.select(
+        [jnp.arange(n) % 3 == 0, jnp.arange(n) % 3 == 1],
+        [jnp.full(n, -0.0012), jnp.full(n, 0.15)],
+        (jax.random.uniform(ks[1], (n,)) - 0.5) * 0.02)
+    recv = anchor + delta
+
+    softness = jnp.float32(2.5)
+    uni = _test_uniforms(s, softness)
+
+    lit, umbra = shadow_classify.classify(cmaps, layer, uv, recv, softness,
+                                          use_pcss)
+    lit, umbra = np.asarray(lit), np.asarray(umbra)
+
+    if use_pcss:
+        m1, m2, pen, hasb = jax.jit(_pcss_taps)(uni, packed, layer, uv,
+                                                recv, phi)
+        m1, m2, hasb = (np.asarray(m1), np.asarray(m2), np.asarray(hasb))
+        # LIT => fully lit whether or not blockers exist (gltf.frag:402,
+        # 420-423: no blockers -> 1; else all compares pass -> m1 = 1).
+        np.testing.assert_allclose(np.where(hasb, m1, 1.0)[lit], 1.0)
+        np.testing.assert_allclose(np.where(hasb, m2, 1.0)[lit], 1.0)
+        # UMBRA => blockers exist and every compare is shadowed.
+        assert hasb[umbra].all()
+        np.testing.assert_allclose(m1[umbra], 0.0)
+        np.testing.assert_allclose(m2[umbra], 0.0)
+    else:
+        pm1, pm2, _ = jax.jit(_pcf_taps)(uni, packed, layer, uv, recv, phi)
+        pm1, pm2 = np.asarray(pm1), np.asarray(pm2)
+        np.testing.assert_allclose(pm1[lit], 1.0)
+        np.testing.assert_allclose(pm2[lit], 1.0)
+        np.testing.assert_allclose(pm1[umbra], 0.0)
+        np.testing.assert_allclose(pm2[umbra], 0.0)
+
+    # The classes are non-trivial on this map (the test has teeth) —
+    # crucially, LIT fires on the SLOPED surface with on-surface receivers.
+    assert lit.sum() > 500 and umbra.sum() > 500
+    assert (~lit & ~umbra).sum() > 100
+
+
+def test_classification_respects_softness_budget():
+    key = jax.random.PRNGKey(0)
+    maps = _sloped_maps(key)
+    cmaps = shadow_classify.build_class_maps(maps, coarse=8,
+                                             max_softness=2.0)
+    uv = jnp.asarray([[0.5, 0.5]])
+    recv = jnp.asarray([0.9])
+    layer = jnp.asarray([0])
+    lit, umbra = shadow_classify.classify(cmaps, layer, uv, recv,
+                                          jnp.float32(3.0), True)
+    assert not bool(lit[0]) and not bool(umbra[0])
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: sparse frame == dense frame (bit parity modulo capacity).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def duck_setup(duck_gltf_path):
+    duck = GltfScene.load(duck_gltf_path)
+    scene = build_device_scene(duck)
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=4352, backend="jnp")
+    cfg = GltfConfig(width=256, height=144, shadow_map_size=256,
+                     raster=tile, shadow_raster=tile)
+    params = default_gltf_params(gltf_min_y=float(duck.bounds_min[1]))
+    return scene, cfg, params
+
+
+def _run(scene, cfg, params, frames=3):
+    frame = compiled_gltf_frame(cfg)
+    state = init_frame_state(cfg)
+    for _ in range(frames):
+        rgba, state = frame(scene, params, state)
+    return np.asarray(rgba), state
+
+
+@pytest.mark.parametrize("flags", [
+    GltfFrameFlags(),
+    GltfFrameFlags(use_pcss=False),
+    GltfFrameFlags(use_shadow_taa=False),
+    GltfFrameFlags(debug_cascades=True),
+], ids=["pcss", "pcf", "no-taa", "debug"])
+def test_sparse_matches_dense(duck_setup, flags):
+    scene, cfg, params = duck_setup
+    sparse_cfg = dataclasses.replace(
+        cfg, flags=dataclasses.replace(flags, sparse_shadows=True),
+        shadow_pen_capacity=256 * 144)          # ample: no overflow
+    dense_cfg = dataclasses.replace(
+        cfg, flags=dataclasses.replace(flags, sparse_shadows=False))
+    img_s, st_s = _run(scene, sparse_cfg, params)
+    img_d, st_d = _run(scene, dense_cfg, params)
+    np.testing.assert_allclose(img_s, img_d, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_s.shadow_history),
+                               np.asarray(st_d.shadow_history), atol=1e-6)
+
+
+def test_sparse_default_capacity_exact(duck_setup):
+    """At default capacity the image is exact whether or not the
+    penumbra count fits (overflow -> dense lax.cond fallback)."""
+    scene, cfg, params = duck_setup
+    img_s, _ = _run(scene, dataclasses.replace(
+        cfg, flags=GltfFrameFlags(sparse_shadows=True)), params)
+    img_d, _ = _run(scene, dataclasses.replace(
+        cfg, flags=GltfFrameFlags(sparse_shadows=False)), params)
+    np.testing.assert_allclose(img_s, img_d, atol=1e-6)
+
+
+def test_sparse_overflow_falls_back_exact(duck_setup):
+    """A deliberately tiny capacity must still produce the exact image via
+    the dense fallback branch."""
+    scene, cfg, params = duck_setup
+    tiny = dataclasses.replace(cfg, shadow_pen_capacity=64,
+                               contact_capacity=64)
+    dense_cfg = dataclasses.replace(
+        cfg, flags=GltfFrameFlags(sparse_shadows=False,
+                                  sparse_contact=False))
+    img_t, _ = _run(scene, tiny, params)
+    img_d, _ = _run(scene, dense_cfg, params)
+    np.testing.assert_allclose(img_t, img_d, atol=1e-6)
+
+
+def test_contact_sparse_matches_dense_with_hits():
+    """Pyramid classification never rules out a pixel whose exact march
+    intersects: sparse == dense on a scene with real occlusion (the
+    near-wall setup of test_taa_contact.py)."""
+    from funky_tpu.passes import contact
+
+    from .test_taa_contact import _uniforms, _world_grid
+
+    uni = _uniforms()
+    n = 16
+    world = _world_grid(uni, n)
+    normal = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (n, n, 1)).astype(
+        jnp.float32)
+    hom = jnp.concatenate([world + 0.01 * normal, jnp.ones((n, n, 1))], -1)
+    clip = jnp.einsum("ij,hwj->hwi", uni.proj @ uni.view, hom)
+    z_surface = clip[..., 2] / clip[..., 3]
+    near, far = 0.1, 100.0
+    d_surface = near * far / (far - z_surface * (far - near))
+    d_stored = jnp.mean(d_surface) - 0.03
+    z_stored = far * (d_stored - near) / (d_stored * (far - near))
+    depth = jnp.full((n, n), float(z_stored), jnp.float32)
+
+    dense = np.asarray(jax.jit(contact.compute_contact_shadow)(
+        world, normal, uni, depth))
+    sparse = np.asarray(jax.jit(
+        lambda *a: contact.compute_contact_shadow_sparse(
+            *a, capacity=n * n))(world, normal, uni, depth))
+    np.testing.assert_allclose(sparse, dense, atol=1e-6)
+    assert (dense < 1.0).any()     # the occluder casts something
+
+
+def test_sparse_softness_above_budget_still_exact(duck_setup):
+    scene, cfg, params = duck_setup
+    params = dataclasses.replace(
+        params, shadow_softness=jnp.asarray(6.0, jnp.float32))
+    sparse_cfg = dataclasses.replace(cfg, max_softness=4.0,
+                                     shadow_pen_capacity=2 * 256 * 144)
+    dense_cfg = dataclasses.replace(
+        cfg, flags=GltfFrameFlags(sparse_shadows=False))
+    img_s, _ = _run(scene, sparse_cfg, params)
+    img_d, _ = _run(scene, dense_cfg, params)
+    # flat-batch taps fuse differently than the (H, W) dense path: allow
+    # fp-reorder noise (observed 2 px at ~3e-6 relative)
+    np.testing.assert_allclose(img_s, img_d, atol=2e-5)
