@@ -122,6 +122,8 @@ def main():
         cfg = dataclasses.replace(
             cfg,
             shadow_pen_capacity=cap1k(occ["pairs"]),
+            shadow_pen_cascade_caps=tuple(
+                cap1k(c) for c in occ["pairs_per_cascade"]),
             contact_capacity=cap1k(occ["contact_stage2"]),
             contact_march_capacity=cap1k(occ["contact_march"]))
         print(f"# sparse occupancy {occ} -> pen_capacity "

@@ -70,6 +70,35 @@ def main():
     write_png(out / "duck_shadows.png", drv.readback())
     print("wrote", out / "duck_shadows.png")
 
+    # 3. multi-mesh PBR scene (two PBR cubes + textured ground quad,
+    # per-mesh textures — BASELINE config 3)
+    import tempfile
+
+    from funky_tpu.frame import (compiled_gltf_frame, default_gltf_params,
+                                 init_frame_state)
+    from funky_tpu.models.gltf import GltfScene
+    from funky_tpu.models.sample_scenes import build_multimesh_glb
+    from funky_tpu.models.scene import build_device_scene
+
+    with tempfile.TemporaryDirectory() as td:
+        glb = build_multimesh_glb(pathlib.Path(td) / "multi.glb",
+                                  two_textures=True)
+        mscene = GltfScene.load(glb)
+    ds = build_device_scene(mscene)
+    mw = int(1280 * s) // 128 * 128 or 256
+    mh = int(768 * s) // 64 * 64 or 128
+    mcfg = GltfConfig(width=mw, height=mh,
+                      shadow_map_size=1024 if s >= 1 else 256,
+                      raster=RasterConfig(tile_h=16, tile_w=128),
+                      shadow_raster=RasterConfig(tile_h=128, tile_w=128))
+    mparams = default_gltf_params(gltf_min_y=float(mscene.bounds_min[1]),
+                                  gltf_scale=1.0)
+    mframe = compiled_gltf_frame(mcfg)
+    mstate = init_frame_state(mcfg)
+    for _ in range(3):
+        rgba, mstate = mframe(ds, mparams, mstate)
+    save("multimesh_pbr.png", np.asarray(rgba))
+
     # 5b. SDF raymarch
     scfg = SdfConfig(width=int(960 * s) or 320, height=int(540 * s) or 180)
     pos, yaw, pitch, fov = default_sdf_camera()

@@ -35,11 +35,15 @@ def main():
     from funky_tpu.ops.compact import compact_indices, gather_rows
     from funky_tpu.passes import (contact, deferred, geometry, shadow,
                                   shadow_filter, taa)
-    from funky_tpu.passes.shadow_classify import build_class_maps, classify
+    from funky_tpu.passes.shadow_classify import (build_class_maps,
+                                                  classify,
+                                                  light_ground_planes)
 
     iters = int(os.environ.get("PROFILE_ITERS", "10"))
 
-    def timeit(fn, *args, label=""):
+    def timeit(fn, *args, label="", n=None):
+        n = n or iters
+
         @jax.jit
         def run(a0, *args):
             def body(carry, _):
@@ -52,17 +56,22 @@ def main():
                 leaf = jax.tree_util.tree_leaves(out)[0]
                 dep = (leaf.ravel()[0] * 1e-30).astype(jnp.float32)
                 return dep, None
-            dep, _ = jax.lax.scan(body, a0, None, length=iters)
+            dep, _ = jax.lax.scan(body, a0, None, length=n)
             return dep
 
-        args = tuple(jax.device_put(a) for a in args)
-        d = run(jnp.float32(0), *args)
-        float(np.asarray(d))
-        t0 = time.perf_counter()
-        d = run(jnp.float32(0), *args)
-        float(np.asarray(d))
-        print(f"{label:34s} {(time.perf_counter() - t0) / iters * 1e3:8.2f}"
-              " ms", flush=True)
+        try:
+            args = tuple(jax.device_put(a) for a in args)
+            d = run(jnp.float32(0), *args)
+            float(np.asarray(d))
+            t0 = time.perf_counter()
+            d = run(jnp.float32(0), *args)
+            float(np.asarray(d))
+            print(f"{label:34s} "
+                  f"{(time.perf_counter() - t0) / n * 1e3:8.2f} ms",
+                  flush=True)
+        except Exception as e:
+            print(f"{label:34s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
 
     gltf = GltfScene.load("/root/reference/models/scene.gltf")
     scene = build_device_scene(gltf)
@@ -121,13 +130,14 @@ def main():
         cfg.shadow_raster, cfg.shadow_map_size),
         world_v0, label="shadow raster x4")
 
+    planes = jax.jit(light_ground_planes)(uni.light_view_proj)
     timeit(lambda r: jax.vmap(quad_pack)(r), raw, label="quad_pack x4")
     timeit(lambda r: build_class_maps(r, cfg.class_coarse,
-                                      cfg.max_softness).cell_rows,
+                                      cfg.max_softness, planes).cell_rows,
            raw, label="build_class_maps")
 
     cmaps = jax.jit(build_class_maps, static_argnums=(1, 2))(
-        raw, cfg.class_coarse, cfg.max_softness)
+        raw, cfg.class_coarse, cfg.max_softness, planes)
     packed = jax.jit(lambda r: jax.vmap(quad_pack)(r))(raw)
     c0, c1, t = jax.jit(shadow_filter.select_cascade_blend)(
         view_depth, uni.cascade_splits)
@@ -168,7 +178,22 @@ def main():
 
     timeit(lambda u, r, p: shadow_filter._pcss_taps(
         uni, packed, layer_e, u, r, p)[0],
-        uv_e, recv_e, phi_e, label=f"pcss taps @{cfg.shadow_pen_capacity}")
+        uv_e, recv_e, phi_e, label=f"pcss taps @{cfg.shadow_pen_capacity}",
+        n=4)
+
+    packed_c0 = packed[0]
+
+    def taps_single_cascade(u, r, p):
+        from funky_tpu.ops.sampling import sample_depth_dual_packed
+        acc = jnp.zeros_like(r)
+        for i in range(32):
+            d, _ = sample_depth_dual_packed(
+                packed_c0, u + i * 1e-5)
+            acc = acc + d
+        return acc
+
+    timeit(taps_single_cascade, uv_e, recv_e, phi_e,
+           label="32 taps, per-cascade table", n=4)
 
     def full_sparse(world, normal, n_dot_l, view_depth, frag):
         s, _, _, _ = shadow_filter.cascaded_shadow_sparse(

@@ -199,11 +199,16 @@ class GltfConfig:
     # full dense evaluation — slow frame, exact image). Size from
     # shadow_filter.classify_stats (flagship 1080p measures ~55k pairs).
     shadow_pen_capacity: int | None = None
+    # per-cascade pair capacities (4-tuple) — lets each cascade's taps
+    # gather from its own small table; None = shadow_pen_capacity each.
+    shadow_pen_cascade_caps: tuple | None = None
     # classification budget: frames with softness > max_softness fall back
     # to exact taps everywhere (correct, slower). Class-map coarseness in
     # fine texels per cell.
     max_softness: float = 4.0
-    class_coarse: int = 8
+    # coarse=16 keeps the 2048^2x4 cell table at ~2 MB — under the TPU
+    # gather cliff (PERF.md: tables <= ~2.5 MB gather 3x faster).
+    class_coarse: int = 16
     # sparse contact shadows (flags.sparse_contact): stage-2 refine set
     # capacity (None = slab_pixels // 4) and exact-march set capacity
     # (None = stage2 // 4); overflow = exact dense fallback.
@@ -355,7 +360,7 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
             return shadow_filter.cascaded_shadow_sparse(
                 uni, shadow_maps, class_maps, world_s, normal_s, ndl_s,
                 vdepth_s, frag_s, flags.use_pcss, valid_s,
-                cfg.shadow_pen_capacity)
+                cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps)
         return shadow_filter.cascaded_shadow(
             uni, shadow_maps, world_s, normal_s, ndl_s, vdepth_s, frag_s,
             flags.use_pcss)
@@ -417,8 +422,9 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
         rgba = shading.cascade_debug_color(gbuf, c0, c1, ct, shadow_term,
                                            background)
     else:
-        rgba = shading.shade_gltf(gbuf, scene.texture, uni.camera_pos,
-                                  uni.light_dir, shadow_term, background)
+        rgba = shading.shade_gltf(gbuf, scene.texture, scene.texture_sizes,
+                                  uni.camera_pos, uni.light_dir,
+                                  shadow_term, background)
     return rgba, new_history
 
 
@@ -438,14 +444,16 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
     class_maps = None
     if flags.enable_shadows:
         from .ops.sampling import quad_pack
-        from .passes.shadow_classify import build_class_maps
+        from .passes.shadow_classify import (build_class_maps,
+                                             light_ground_planes)
 
         raw_maps = shadow.render_shadow_maps(
             world_v, scene.tri_indices, scene.num_triangles,
             uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
         if flags.sparse_shadows:
-            class_maps = build_class_maps(raw_maps, cfg.class_coarse,
-                                          cfg.max_softness)
+            class_maps = build_class_maps(
+                raw_maps, cfg.class_coarse, cfg.max_softness,
+                light_ground_planes(uni.light_view_proj))
         # quad-pack once (dense shifts) so every filter tap is ONE gather.
         # The barrier forces materialization: without it XLA fuses the
         # packing rolls into every tap's gather (3x slower taps).

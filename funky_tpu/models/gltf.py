@@ -117,29 +117,52 @@ def _read_uri(uri: str, base_dir: Path) -> bytes:
     return (base_dir / unquote(uri)).read_bytes()
 
 
+def _read_view_data(doc: dict, buffers: List[bytes], view_idx: int,
+                    byte_offset: int, count: int, n_comp: int,
+                    dtype, stride_override=None) -> np.ndarray:
+    view = doc["bufferViews"][view_idx]
+    buf = buffers[view["buffer"]]
+    offset = view.get("byteOffset", 0) + byte_offset
+    itemsize = np.dtype(dtype).itemsize
+    stride = stride_override or view.get("byteStride") or n_comp * itemsize
+    if stride == n_comp * itemsize:
+        return np.frombuffer(buf, dtype, count * n_comp,
+                             offset).reshape(count, n_comp)
+    rows = np.frombuffer(buf, np.uint8,
+                         stride * (count - 1) + n_comp * itemsize, offset)
+    idx = (np.arange(count)[:, None] * stride
+           + np.arange(n_comp * itemsize)[None, :])
+    return rows[idx].copy().view(dtype).reshape(count, n_comp)
+
+
 def _read_accessor(doc: dict, buffers: List[bytes], accessor_idx: int) -> np.ndarray:
     acc = doc["accessors"][accessor_idx]
     count = acc["count"]
     n_comp = _TYPE_COUNTS[acc["type"]]
     dtype = _COMPONENT_DTYPES[acc["componentType"]]
-    itemsize = np.dtype(dtype).itemsize
-    if "sparse" in acc:
-        raise NotImplementedError("sparse accessors not supported")
     if "bufferView" not in acc:
-        return np.zeros((count, n_comp), dtype)
-    view = doc["bufferViews"][acc["bufferView"]]
-    buf = buffers[view["buffer"]]
-    offset = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
-    stride = view.get("byteStride") or n_comp * itemsize
-    if stride == n_comp * itemsize:
-        out = np.frombuffer(buf, dtype, count * n_comp, offset).reshape(count, n_comp)
+        out = np.zeros((count, n_comp), dtype)
     else:
-        rows = np.frombuffer(buf, np.uint8,
-                             stride * (count - 1) + n_comp * itemsize,
-                             offset)
-        idx = (np.arange(count)[:, None] * stride
-               + np.arange(n_comp * itemsize)[None, :])
-        out = rows[idx].copy().view(dtype).reshape(count, n_comp)
+        out = _read_view_data(doc, buffers, acc["bufferView"],
+                              acc.get("byteOffset", 0), count, n_comp,
+                              dtype)
+    sparse = acc.get("sparse")
+    if sparse:
+        # glTF 2.0 sparse accessors: substitute `count` values at the
+        # given indices over the (possibly zero) base (spec 3.6.2.3;
+        # handled by the gltf crate in the reference, gltf_loader.rs).
+        s_count = sparse["count"]
+        sidx = sparse["indices"]
+        sval = sparse["values"]
+        idx_dtype = _COMPONENT_DTYPES[sidx["componentType"]]
+        indices = _read_view_data(
+            doc, buffers, sidx["bufferView"], sidx.get("byteOffset", 0),
+            s_count, 1, idx_dtype)[:, 0].astype(np.int64)
+        values = _read_view_data(
+            doc, buffers, sval["bufferView"], sval.get("byteOffset", 0),
+            s_count, n_comp, dtype)
+        out = out.copy()
+        out[indices] = values
     return out
 
 

@@ -72,14 +72,54 @@ def write_png(path: str | Path, rgba: np.ndarray) -> None:
 
 
 # ---------------------------------------------------------------------------
-# Pure-Python decoder (fallback): 8-bit gray/RGB/RGBA/palette, all filters.
+# Pure-Python decoder (fallback): gray/RGB/RGBA/palette at bit depths
+# 1/2/4/8/16, all filters, Adam7 interlacing — the same format coverage
+# the reference gets from the `image` crate (gltf_loader.rs:96-127;
+# 16-bit channels fold to 8 by the high byte, like `DynamicImage::to_rgba8`).
 # ---------------------------------------------------------------------------
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2).
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _scanlines_to_pixels(flat: np.ndarray, w: int, h: int, channels: int,
+                         bit_depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> (h, w, channels) uint8
+    (16-bit folds to the high byte; sub-byte depths unpack + rescale)."""
+    if bit_depth == 8:
+        return flat[:, :w * channels].reshape(h, w, channels)
+    if bit_depth == 16:
+        u16 = flat[:, :w * channels * 2].reshape(
+            h, w * channels, 2).astype(np.uint16)
+        return ((u16[..., 0] << 8 | u16[..., 1]) >> 8).astype(
+            np.uint8).reshape(h, w, channels)
+    # 1/2/4-bit (gray or palette indices, always 1 channel)
+    bits = np.unpackbits(flat, axis=1)
+    per = bit_depth
+    vals = bits[:, :w * per].reshape(h, w, per)
+    weights = (1 << np.arange(per - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=-1, dtype=np.uint16)[..., None].astype(
+        np.uint8)
+
+
+def _decode_subimage(raw: memoryview, w: int, h: int, channels: int,
+                     bit_depth: int):
+    """One (sub-)image of filtered scanlines; returns (pixels, bytes
+    consumed). pixels is (h, w, channels) uint8 pre-rescale."""
+    stride = (w * channels * bit_depth + 7) // 8
+    bpp = max(1, channels * bit_depth // 8)
+    n = h * (stride + 1)
+    rows = np.frombuffer(raw[:n], np.uint8).reshape(h, stride + 1)
+    flat = _unfilter(rows[:, 1:].copy(), rows[:, 0], bpp)
+    return _scanlines_to_pixels(flat, w, h, channels, bit_depth), n
+
 
 def _decode_png_pure(data: bytes) -> np.ndarray:
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG file")
     pos = 8
-    width = height = bit_depth = color_type = None
+    width = height = bit_depth = color_type = interlace = None
     idat = bytearray()
     palette: np.ndarray | None = None
     trns: np.ndarray | None = None
@@ -91,10 +131,6 @@ def _decode_png_pure(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", payload)
-            if bit_depth != 8 or interlace != 0:
-                raise NotImplementedError(
-                    f"pure decoder supports 8-bit non-interlaced PNGs only "
-                    f"(depth={bit_depth}, interlace={interlace})")
         elif tag == b"PLTE":
             palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
@@ -105,23 +141,39 @@ def _decode_png_pure(data: bytes) -> np.ndarray:
             break
     assert width is not None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
-    filters = rows[:, 0]
-    img = _unfilter(rows[:, 1:].copy(), filters, channels)
+    raw = memoryview(zlib.decompress(bytes(idat)))
+
+    if interlace == 0:
+        img, _ = _decode_subimage(raw, width, height, channels, bit_depth)
+    elif interlace == 1:
+        img = np.zeros((height, width, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, used = _decode_subimage(raw[off:], wp, hp, channels,
+                                         bit_depth)
+            off += used
+            img[y0::dy, x0::dx] = sub
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+
+    if bit_depth in (1, 2, 4) and color_type == 0:
+        # rescale sub-byte gray to full range (e.g. 1-bit 1 -> 255)
+        img = (img.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))
+               ).astype(np.uint8)
+
     if color_type == 3:  # palette
         assert palette is not None
-        rgb = palette[img.reshape(height, width)]
+        idx = img[..., 0]
+        rgb = palette[idx]
+        a = np.full((height, width), 255, np.uint8)
         if trns is not None:
-            a = np.full((height, width), 255, np.uint8)
-            idx = img.reshape(height, width)
             mask = idx < len(trns)
             a[mask] = trns[idx[mask]]
-        else:
-            a = np.full((height, width), 255, np.uint8)
         return np.concatenate([rgb, a[..., None]], axis=-1)
-    img = img.reshape(height, width, channels)
     if color_type == 0:  # gray
         return np.concatenate(
             [np.repeat(img, 3, axis=-1),

@@ -52,8 +52,15 @@ class DeviceScene:
     vert_object: jnp.ndarray  # (V,) i32 object slot per vertex
     tri_indices: jnp.ndarray  # (T, 3) i32
     tri_object: jnp.ndarray   # (T,) i32
-    tri_flags: jnp.ndarray    # (T,) i32 — bit 0: useTexture
-    texture: jnp.ndarray      # (Th, Tw, 4) f32 linear RGBA
+    tri_flags: jnp.ndarray    # (T,) i32 — bit 0: useTexture; bits 8+:
+    #                           texture layer (per-mesh textures, an
+    #                           extension over the reference's single
+    #                           binding, gltf_renderer.rs:217-277)
+    texture: jnp.ndarray      # (N, Th, Tw, 4) f32 linear RGBA layers;
+    #                           smaller textures are WRAP-padded to the
+    #                           common size so REPEAT addressing against
+    #                           the true size stays exact
+    texture_sizes: jnp.ndarray  # (N, 2) f32 true (h, w) per layer
     num_vertices: int         # static: real (unpadded) counts
     num_triangles: int
     num_objects: int
@@ -61,7 +68,7 @@ class DeviceScene:
     def tree_flatten(self):
         children = (self.positions, self.normals, self.uvs, self.colors,
                     self.vert_object, self.tri_indices, self.tri_object,
-                    self.tri_flags, self.texture)
+                    self.tri_flags, self.texture, self.texture_sizes)
         aux = (self.num_vertices, self.num_triangles, self.num_objects)
         return children, aux
 
@@ -106,6 +113,7 @@ def build_device_scene(scene: Optional[GltfScene],
         add_mesh(gp, gn, guv, gc, gi, OBJ_GROUND, 0)
 
     texture = None
+    texture_sizes = None
     if scene is not None:
         has_texture = len(scene.textures) > 0
         for mesh in scene.meshes:
@@ -113,25 +121,33 @@ def build_device_scene(scene: Optional[GltfScene],
             # Bake material base color over vertex color
             # (gltf_renderer.rs:469-490).
             color = v.colors
+            # glTF semantics: textured iff the material names a
+            # baseColorTexture (the reference binds texture[0] for every
+            # mesh instead, gltf_renderer.rs:217-277 — identical for its
+            # one-mesh-one-texture sample scenes; meshes whose material
+            # has no texture are correctly untextured here). Meshes with
+            # no material at all keep texture 0 when the scene has one.
+            tex_idx = 0 if has_texture else None
             if mesh.material_index is not None and mesh.material_index < len(
                     scene.materials):
                 mat = scene.materials[mesh.material_index]
                 color = np.tile(mat.base_color[:3].astype(np.float32),
                                 (len(v.positions), 1))
-            flags = FLAG_USE_TEXTURE if has_texture else 0
+                tex_idx = mat.base_color_texture_index
+            flags = 0
+            if has_texture and tex_idx is not None:
+                flags = FLAG_USE_TEXTURE | (min(
+                    tex_idx, len(scene.textures) - 1) << 8)
             add_mesh(v.positions, v.normals, v.tex_coords, color,
                      mesh.indices, OBJ_MODEL, flags)
         if has_texture:
-            tex8 = scene.textures[0].data
-            texture = np.concatenate([
-                srgb_to_linear(tex8[..., :3].astype(np.float32) / 255.0),
-                tex8[..., 3:].astype(np.float32) / 255.0,
-            ], axis=-1).astype(np.float32)
+            texture, texture_sizes = _pack_texture_layers(scene.textures)
 
     if texture is None:
         # 1x1 white fallback (create_fallback_texture,
         # gltf_renderer.rs:1577-1586) padded to a TPU-friendly shape.
-        texture = np.ones((8, 128, 4), np.float32)
+        texture = np.ones((1, 8, 128, 4), np.float32)
+        texture_sizes = np.asarray([[8.0, 128.0]], np.float32)
 
     positions = _pad_rows(np.concatenate(pos_l).astype(np.float32))
     num_vertices = base
@@ -148,10 +164,34 @@ def build_device_scene(scene: Optional[GltfScene],
         tri_object=jnp.asarray(_pad_rows(np.concatenate(tobj_l))),
         tri_flags=jnp.asarray(_pad_rows(np.concatenate(tflag_l))),
         texture=jnp.asarray(texture),
+        texture_sizes=jnp.asarray(texture_sizes),
         num_vertices=num_vertices,
         num_triangles=num_triangles,
         num_objects=2,
     )
+
+
+def _pack_texture_layers(textures):
+    """Decode sRGB->linear and stack textures into one (N, H, W, 4) array.
+    Smaller layers are WRAP-padded (tiled) to the common size: REPEAT
+    addressing resolves against the TRUE size (texture_sizes), and the
+    wrap padding makes the quad-packed +1 neighbors at a layer's true
+    edge hold the correct wrapped texel."""
+    max_h = max(t.height for t in textures)
+    max_w = max(t.width for t in textures)
+    layers = []
+    sizes = []
+    for t in textures:
+        tex8 = t.data
+        lin = np.concatenate([
+            srgb_to_linear(tex8[..., :3].astype(np.float32) / 255.0),
+            tex8[..., 3:].astype(np.float32) / 255.0,
+        ], axis=-1).astype(np.float32)
+        reps = (-(-max_h // t.height), -(-max_w // t.width), 1)
+        layers.append(np.tile(lin, reps)[:max_h, :max_w])
+        sizes.append([float(t.height), float(t.width)])
+    return (np.stack(layers).astype(np.float32),
+            np.asarray(sizes, np.float32))
 
 
 def build_cube_scene() -> DeviceScene:
@@ -171,7 +211,8 @@ def build_cube_scene() -> DeviceScene:
         tri_indices=jnp.asarray(_pad_rows(tri)),
         tri_object=jnp.asarray(_pad_rows(np.zeros(len(tri), np.int32))),
         tri_flags=jnp.asarray(_pad_rows(np.zeros(len(tri), np.int32))),
-        texture=jnp.ones((8, 128, 4), jnp.float32),
+        texture=jnp.ones((1, 8, 128, 4), jnp.float32),
+        texture_sizes=jnp.asarray([[8.0, 128.0]], jnp.float32),
         num_vertices=len(p),
         num_triangles=len(tri),
         num_objects=1,

@@ -180,21 +180,32 @@ def _row_gather(packed: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray):
     return flat[iy * w + ix]
 
 
-def sample_bilinear_repeat_packed(tex_packed: jnp.ndarray,
-                                  uv: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear REPEAT sampling from a quad-packed (H, W, 4*C) texture:
-    ONE gathered row per sample instead of four."""
-    h, w, k4 = tex_packed.shape
+def sample_bilinear_repeat_packed_layers(tex_packed: jnp.ndarray,
+                                         sizes: jnp.ndarray,
+                                         layer: jnp.ndarray,
+                                         uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear REPEAT sampling from quad-packed texture LAYERS
+    (per-mesh textures): tex_packed (N, H, W, 4*C), sizes (N, 2) true
+    (h, w) per layer (smaller layers wrap-padded to the common H, W —
+    models/scene.py), layer (...,) int32. ONE gathered row per sample;
+    layer sizes resolve by one-hot select (N is small)."""
+    n, hp, wp, k4 = tex_packed.shape
     c = k4 // 4
+    oh = (layer[..., None] == jnp.arange(n, dtype=jnp.int32))
+    h = jnp.sum(jnp.where(oh, sizes[:, 0], 0.0), axis=-1)
+    w = jnp.sum(jnp.where(oh, sizes[:, 1], 0.0), axis=-1)
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    ix = jnp.mod(x0.astype(jnp.int32), w)
-    iy = jnp.mod(y0.astype(jnp.int32), h)
-    quad = _row_gather(tex_packed, iy, ix)               # (..., 4C)
+    # REPEAT against the true layer size; the +1 packed neighbors at the
+    # true edge are correct because padding is wrap-filled.
+    ix = jnp.mod(x0, w).astype(jnp.int32)
+    iy = jnp.mod(y0, h).astype(jnp.int32)
+    flat = tex_packed.reshape(n * hp * wp, k4)
+    quad = flat[(layer * hp + iy) * wp + ix]             # (..., 4C)
     t00 = quad[..., 0 * c:1 * c]
     t10 = quad[..., 1 * c:2 * c]
     t01 = quad[..., 2 * c:3 * c]

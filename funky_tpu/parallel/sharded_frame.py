@@ -79,11 +79,13 @@ def sharded_gltf_frame(mesh: Mesh, cfg: GltfConfig):
             raw_maps = jax.lax.all_gather(
                 local_sm, ROWS_AXIS, axis=1, tiled=True)  # (4, S, S)
             from ..ops.sampling import quad_pack
-            from ..passes.shadow_classify import build_class_maps
+            from ..passes.shadow_classify import (build_class_maps,
+                                                  light_ground_planes)
 
-            class_maps = (build_class_maps(raw_maps, cfg.class_coarse,
-                                           cfg.max_softness)
-                          if flags.sparse_shadows else None)
+            class_maps = (build_class_maps(
+                raw_maps, cfg.class_coarse, cfg.max_softness,
+                light_ground_planes(uni.light_view_proj))
+                if flags.sparse_shadows else None)
             shadow_maps = jax.lax.optimization_barrier(
                 jax.vmap(quad_pack)(raw_maps))
         else:

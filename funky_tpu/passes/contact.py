@@ -145,10 +145,18 @@ def _march(depth_packed: jnp.ndarray, march_start: jnp.ndarray,
         valid = penetration < DEPTH_THICKNESS
         return (distance < 0.0) & valid, penetration, inb
 
-    # Linear phase with first-hit semantics (gltf.frag:253-290).
+    # Linear phase with first-hit semantics (gltf.frag:253-290). The 8
+    # probes are data-independent, so their dual samples ride ONE batched
+    # gather (sequential small gather ops cost ~4x more per row — see
+    # shadow_filter.vogel_disk_all); only the cheap dense first-hit
+    # selection stays sequential.
+    steps = jnp.arange(LINEAR_STEPS, dtype=jnp.float32).reshape(
+        (LINEAR_STEPS,) + (1,) * jitter.ndim)
+    t_all = (steps + jitter[None]) / LINEAR_STEPS
+    hit_all, pen_all, inb_all = probe(t_all)
     for step in range(LINEAR_STEPS):
-        t = (step + jitter) / LINEAR_STEPS
-        hit, pen, inb = probe(t)
+        t = t_all[step]
+        hit, pen, inb = hit_all[step], pen_all[step], inb_all[step]
         active = ~intersected & inb        # `continue` skips oob samples
         new_hit = active & hit
         max_t = jnp.where(new_hit, t, max_t)
@@ -300,10 +308,11 @@ def fit_ground_plane(view_proj: jnp.ndarray, width: int, height: int,
 
 
 def build_residual_pyramid(prev_depth: jnp.ndarray, plane: jnp.ndarray,
-                           base: int = 4) -> ResidualPyramid:
+                           base: int = 8) -> ResidualPyramid:
     """Min-pyramid (levels base*2^j) of R = stored - min(plane_ndc, 1);
     each level quad-packed so a 2x2-cell window is ONE gathered row, all
-    levels concatenated into one table."""
+    levels concatenated into one table (base=8 keeps it ~1 MB at 1080p,
+    under the TPU gather cliff — PERF.md)."""
     h, w = prev_depth.shape
     xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
     ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
@@ -513,21 +522,20 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
     rows2 = gather_rows(payload, comp2)
     start2, dir2, jit2 = rows2[:, 0:3], rows2[:, 3:6], rows2[:, 6]
 
-    # Stage 2: re-certify with tight per-probe level-0 boxes (8 small
-    # gathers per compacted pixel) — retires the shell created by stage
-    # 1's whole-ray box dilation around real occluders.
-    cert2 = jnp.ones((cap2,), bool)
-    for step in range(LINEAR_STEPS):
-        t = (step + jit2) / LINEAR_STEPS
-        cs = start2 + dir2 * t[..., None]
-        uv = cs[..., :2] * 0.5 + 0.5
-        inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
-               & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
-        q = uv * size
-        min_r = _point_min_l0(pyr, q)
-        bound = _probe_bound(pyr, q, size)
-        ok = cs[..., 2] <= bound + min_r - pyr.eps
-        cert2 = cert2 & (~inb | ok)
+    # Stage 2: re-certify with tight per-probe level-0 boxes — all 8
+    # probes' box rows ride ONE batched gather (per-op overhead dominates
+    # small sequential gathers), the rest is dense arithmetic.
+    steps = jnp.arange(LINEAR_STEPS, dtype=jnp.float32)[:, None]
+    t_all = (steps + jit2[None]) / LINEAR_STEPS           # (8, cap2)
+    cs = start2[None] + dir2[None] * t_all[..., None]
+    uv = cs[..., :2] * 0.5 + 0.5
+    inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
+           & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
+    q = uv * size
+    min_r = _point_min_l0(pyr, q)
+    bound = _probe_bound(pyr, q, size)
+    ok = cs[..., 2] <= bound + min_r - pyr.eps
+    cert2 = jnp.all(~inb | ok, axis=0)
 
     # Stage 3: exact march on the survivors (compacted within comp2's
     # slot domain, then composed back to global flat indices).

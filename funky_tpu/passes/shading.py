@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.scene import FLAG_USE_TEXTURE
-from ..ops.sampling import quad_pack_nhwc, sample_bilinear_repeat_packed
+from ..ops.sampling import (quad_pack_nhwc,
+                            sample_bilinear_repeat_packed_layers)
 from .deferred import GBuffer
 
 _FILL_DIR = (-0.5, 0.3, -0.8)
@@ -63,19 +64,27 @@ def shade_cube(gbuf: GBuffer, camera_pos: jnp.ndarray,
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
-def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray, camera_pos: jnp.ndarray,
+def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray,
+               texture_sizes: jnp.ndarray, camera_pos: jnp.ndarray,
                light_dir: jnp.ndarray, shadow: jnp.ndarray,
                background: jnp.ndarray) -> jnp.ndarray:
     """gltf.frag main lighting (gltf.frag:592-655), with the shadow term
     (already TAA'd and min'd with contact shadows) supplied.
 
+    texture is layered (N, H, W, 4); the per-pixel layer comes from the
+    triangle flag high bits (per-mesh textures — an extension over the
+    reference's single binding, gltf_renderer.rs:217-277).
+
     Returns (H, W, 4) linear RGBA.
     """
     use_texture = (gbuf.flags & FLAG_USE_TEXTURE) != 0
+    layer = gbuf.flags >> 8
     # Quad-packed bilinear: one gathered row per pixel instead of four.
     # The barrier keeps the packing rolls from fusing into the gather.
-    tex_packed = jax.lax.optimization_barrier(quad_pack_nhwc(texture))
-    tex = sample_bilinear_repeat_packed(tex_packed, gbuf.uv)
+    tex_packed = jax.lax.optimization_barrier(
+        jax.vmap(quad_pack_nhwc)(texture))
+    tex = sample_bilinear_repeat_packed_layers(tex_packed, texture_sizes,
+                                               layer, gbuf.uv)
     tex = jnp.where(use_texture[..., None], tex, 1.0)
 
     normal = _normalize(gbuf.normal)

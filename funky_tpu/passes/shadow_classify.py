@@ -14,8 +14,12 @@ ever classify lit — even though the exact evaluation is trivially lit
 penumbra estimate clamps to 0.5 texels, gltf.frag:429, and all compare
 taps within that radius pass). The classification must therefore be
 slope-proof. The trick: anchor each pixel to the stored depth at its own
-texel, d(s_px) (ONE gather from the raw map), and precompute per coarse
-cell the worst-case LOCAL RELIEF of the map:
+texel, d(s_px) — bounded per coarse cell as plane(texel) + [min_resid,
+max_resid] against an analytic per-cascade ground plane (residuals are
+measured, so ANY plane is sound; matching the dominant receiver makes
+the bounds tight, and no per-texel gather from the (L*S*S)-row raw map
+is needed) — and precompute per coarse cell the worst-case LOCAL RELIEF
+of the map:
 
     drop_r(c) = max over texels s in cell c of [ d(s) - min_{|t-s|<=r} d(t) ]
     rise_U(c) = max over s in c of [ max_{|t-s|<=U} d(t) - d(s) ]
@@ -61,16 +65,23 @@ BORDER_DEPTH = 1.0   # CLAMP_TO_BORDER white (gltf_renderer.rs:806-833)
 # flat-ground case (penumbra clamps to 0.5 => taps within 2.5 texels) and
 # fights the receiver slope for the depth bias — keep it tight. The top
 # rung must cover pen_bound + 2 for pen_bound <= 2 * L_max =
-# 4 * max_softness (default 16 -> 18 <= 34).
+# 4 * max_softness (default 16 -> 18 <= 34). The blocker-search window
+# reuses the smallest rung that covers it (a larger window is
+# conservative), keeping the cell row at 8 floats — with coarse=16 the
+# whole table is 4*(2048/16)^2 x 32 B ~= 2 MB, under the measured TPU
+# gather cliff (tables <= ~2.5 MB gather at ~4 ns/row vs ~12 above).
 DROP_LADDER = (3, 6, 12, 20, 34)
 FOOT_MARGIN = 2.0    # tap footprint: nearest/bilinear corners + px offset
 
 
 class ShadowClassMaps(NamedTuple):
-    """Per-cascade relief statistics + the raw map for anchor gathers."""
-    raw_rows: jnp.ndarray   # (L * S * S,) raw cascade depth, flattened
-    cell_rows: jnp.ndarray  # (L * Sc * Sc, K) [drop_ladder..., drop_Lw,
-    #                          rise_U] per coarse cell
+    """Per-cascade relief statistics (coarse-cell rows only — the anchor
+    depth d(s_px) is BOUNDED via per-cell residuals against an analytic
+    ground plane instead of gathered per texel: the raw (L*S*S)-row table
+    cost ~13 ns/px/cascade on TPU, the cell table ~3 ns)."""
+    cell_rows: jnp.ndarray  # (L * Sc * Sc, K+2) [drop_ladder..., drop_Lw,
+    #                          rise_U, min_resid, max_resid] per cell
+    planes: jnp.ndarray     # (L, 3) uv-space ndc-depth plane per cascade
     size: int               # S
     coarse: int             # fine texels per cell
     max_softness: float     # static classification budget
@@ -130,30 +141,87 @@ def rise_window(max_softness: float) -> int:
     return math.ceil(4.0 * max_softness + FOOT_MARGIN)
 
 
+def light_ground_planes(light_view_proj: jnp.ndarray,
+                        plane_y: float = 0.0) -> jnp.ndarray:
+    """(L, 3) per-cascade uv-space NDC-depth plane of the world plane
+    y=plane_y: z_ndc(u, v) = p0*u + p1*v + p2 — exact for an ortho light
+    (gltf_renderer.rs:1938-1944), fitted from 3 projected on-plane
+    points. A degenerate (edge-on) light yields inf/nan coefficients,
+    which simply stop the closed forms from firing (comparisons with
+    nan are False) — sound, just not fast."""
+    pts = jnp.asarray([[0.0, plane_y, 0.0],
+                       [7.0, plane_y, 1.0],
+                       [3.0, plane_y, -6.0]], jnp.float32)
+    hom = jnp.concatenate([pts, jnp.ones((3, 1), jnp.float32)], axis=-1)
+    clip = jnp.einsum("cij,nj->cni", light_view_proj, hom)   # (L, 3, 4)
+    ndc = clip[..., :3] / clip[..., 3:4]
+    uv = ndc[..., :2] * 0.5 + 0.5                 # _light_project convention
+    a_mat = jnp.concatenate(
+        [uv, jnp.ones(uv.shape[:-1] + (1,), jnp.float32)], axis=-1)
+    return jnp.linalg.solve(a_mat, ndc[..., 2:3])[..., 0]    # (L, 3)
+
+
+def _plane_at_texels(planes: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Evaluate each cascade's plane at every texel center: (L, S, S)."""
+    u = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    return (planes[:, 0, None, None] * u[None, None, :]
+            + planes[:, 1, None, None] * u[None, :, None]
+            + planes[:, 2, None, None])
+
+
 def build_class_maps(shadow_maps: jnp.ndarray, coarse: int = 8,
-                     max_softness: float = 4.0) -> ShadowClassMaps:
-    """Build classification maps from raw cascade depth (L, S, S)."""
+                     max_softness: float = 4.0,
+                     planes: jnp.ndarray | None = None) -> ShadowClassMaps:
+    """Build classification maps from raw cascade depth (L, S, S).
+
+    planes: (L, 3) reference planes for the anchor residual bounds
+    (light_ground_planes). ANY value is sound (residuals are measured
+    against it); a plane matching the dominant receiver (the ground)
+    maximizes the closed-form hit rate. None = zero plane (residuals
+    become raw depths — sound but slope-blind, mostly for tests)."""
     l, s, _ = shadow_maps.shape
     assert (s // coarse) * coarse == s
-    lw = blocker_window(max_softness)
     uw = rise_window(max_softness)
     assert DROP_LADDER[-1] >= math.ceil(4.0 * max_softness + FOOT_MARGIN), \
         "drop ladder must cover the max PCSS penumbra"
+    # Blocker-search window: smallest ladder rung that covers it (bigger
+    # window => smaller min => lower blocker bound => larger penumbra
+    # bound: conservative).
+    assert DROP_LADDER[_lw_rung(max_softness)] >= blocker_window(
+        max_softness)
 
-    radii = sorted(set(DROP_LADDER) | {lw})
-    mins = _dilate_exact(shadow_maps, radii[-1], jnp.minimum, BORDER_DEPTH,
-                         collect_at=radii)
-    drops = {r: _cell_max(shadow_maps - mins[r], coarse) for r in radii}
+    mins = _dilate_exact(shadow_maps, DROP_LADDER[-1], jnp.minimum,
+                         BORDER_DEPTH, collect_at=DROP_LADDER)
+    drops = {r: _cell_max(shadow_maps - mins[r], coarse)
+             for r in DROP_LADDER}
     maxs = _dilate_exact(shadow_maps, uw, jnp.maximum, BORDER_DEPTH)
     rise = _cell_max(maxs[uw] - shadow_maps, coarse)
 
+    if planes is None:
+        planes = jnp.zeros((l, 3), jnp.float32)
+    resid = shadow_maps - _plane_at_texels(planes, s)
+    # f32 slack for plane evaluation both here and in classify()
+    eps = (jnp.sum(jnp.abs(planes), axis=-1) * 4e-7 + 2e-7)[:, None, None]
+    min_resid = -_cell_max(-(resid - eps), coarse)
+    max_resid = _cell_max(resid + eps, coarse)
+
     cell = jnp.stack([drops[r] for r in DROP_LADDER]
-                     + [drops[lw], rise], axis=-1)     # (L, Sc, Sc, K)
+                     + [rise, min_resid, max_resid],
+                     axis=-1)                          # (L, Sc, Sc, K+3)
     sc = s // coarse
     return ShadowClassMaps(
-        raw_rows=shadow_maps.reshape(l * s * s),
-        cell_rows=cell.reshape(l * sc * sc, len(DROP_LADDER) + 2),
+        cell_rows=cell.reshape(l * sc * sc, len(DROP_LADDER) + 3),
+        planes=planes,
         size=s, coarse=coarse, max_softness=max_softness)
+
+
+def _lw_rung(max_softness: float) -> int:
+    """Index of the smallest ladder rung covering the blocker window."""
+    lw = blocker_window(max_softness)
+    for i, r in enumerate(DROP_LADDER):
+        if r >= lw:
+            return i
+    return len(DROP_LADDER) - 1
 
 
 def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
@@ -161,35 +229,50 @@ def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
              use_pcss: bool):
     """Per-pixel class for one cascade: returns (lit, umbra) bool arrays.
 
-    receiver: biased compare reference (proj_z - bias). TWO gathered rows
-    per element (anchor texel depth + cell stats)."""
+    receiver: biased compare reference (proj_z - bias). ONE gathered row
+    per element (the cell stats); the anchor depth d(s_px) is bounded as
+    plane(texel center) + [min_resid, max_resid] of the cell — dense
+    arithmetic instead of a gather from the (L*S*S)-row raw map."""
     s = cmaps.size
     sc = s // cmaps.coarse
     px = jnp.clip(jnp.floor(uv[..., 0] * s).astype(jnp.int32), 0, s - 1)
     py = jnp.clip(jnp.floor(uv[..., 1] * s).astype(jnp.int32), 0, s - 1)
-    anchor = cmaps.raw_rows[(layer * s + py) * s + px]
 
     cx = px // cmaps.coarse
     cy = py // cmaps.coarse
-    cell = cmaps.cell_rows[(layer * sc + cy) * sc + cx]   # (..., K)
+    cell = cmaps.cell_rows[(layer * sc + cy) * sc + cx]   # (..., K+3)
     n_ladder = len(DROP_LADDER)
-    drop_lw = cell[..., n_ladder]
-    rise_u = cell[..., n_ladder + 1]
+    drop_lw = cell[..., _lw_rung(cmaps.max_softness)]
+    rise_u = cell[..., n_ladder]
+    min_resid = cell[..., n_ladder + 1]
+    max_resid = cell[..., n_ladder + 2]
+
+    n_planes = cmaps.planes.shape[0]
+    oh_l = (layer[..., None] == jnp.arange(n_planes, dtype=jnp.int32))
+    psel = lambda k: jnp.sum(  # noqa: E731 — one-hot cascade plane select
+        jnp.where(oh_l, cmaps.planes[:, k], 0.0), axis=-1)
+    plane_a = (psel(0) * (px.astype(jnp.float32) + 0.5) / s
+               + psel(1) * (py.astype(jnp.float32) + 0.5) / s + psel(2))
+    anchor_lb = plane_a + min_resid
+    anchor_ub = plane_a + max_resid
 
     # excess = receiver - d(s_px): how far the receiver sits BELOW the
     # stored surface at its own texel (positive = deeper = more occluded).
-    excess = receiver - anchor
+    # LIT needs the certificate at the LARGEST possible excess, UMBRA at
+    # the smallest.
+    excess_ub = receiver - anchor_lb
+    excess_lb = receiver - anchor_ub
 
     if use_pcss:
         light_size = softness * 2.0                       # gltf.frag:415
-        bd_low = anchor - drop_lw
+        bd_low = anchor_lb - drop_lw
         ratio_bound = (receiver - bd_low) / jnp.maximum(bd_low, 1e-8)
         pen_bound = jnp.clip(ratio_bound * light_size, 0.5,
                              light_size * 2.0)
         need_r = pen_bound + FOOT_MARGIN
     else:
         radius = jnp.maximum(softness, 0.5)               # gltf.frag:456
-        need_r = jnp.broadcast_to(radius + FOOT_MARGIN, excess.shape)
+        need_r = jnp.broadcast_to(radius + FOOT_MARGIN, excess_ub.shape)
 
     # smallest ladder drop window covering the taps
     drop_sel = cell[..., n_ladder - 1]
@@ -198,8 +281,8 @@ def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
                              drop_sel)
 
     ok = softness <= cmaps.max_softness
-    lit = (excess <= -drop_sel) & (need_r <= DROP_LADDER[-1]) & ok
+    lit = (excess_ub <= -drop_sel) & (need_r <= DROP_LADDER[-1]) & ok
     # receiver > 1 could turn the white border into a "blocker" for taps
     # outside the map while compare taps still read lit — exclude.
-    umbra = (excess > rise_u) & (receiver <= BORDER_DEPTH) & ok
+    umbra = (excess_lb > rise_u) & (receiver <= BORDER_DEPTH) & ok
     return lit, umbra

@@ -18,7 +18,8 @@ def _frame_intermediates(scene, params, state, cfg):
     from ..frame import _main_raster_inputs, compute_frame_uniforms
     from ..ops.raster import raster_corners
     from ..passes import deferred, geometry, shadow
-    from ..passes.shadow_classify import build_class_maps
+    from ..passes.shadow_classify import (build_class_maps,
+                                          light_ground_planes)
 
     uni = compute_frame_uniforms(params, state, cfg)
     world_v, clip, normals_v = geometry.transform_vertices(
@@ -27,7 +28,8 @@ def _frame_intermediates(scene, params, state, cfg):
     raw = shadow.render_shadow_maps(
         world_v, scene.tri_indices, scene.num_triangles,
         uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
-    cmaps = build_class_maps(raw, cfg.class_coarse, cfg.max_softness)
+    cmaps = build_class_maps(raw, cfg.class_coarse, cfg.max_softness,
+                             light_ground_planes(uni.light_view_proj))
     tri_clip, blocks, tri_flags, tri_valid = _main_raster_inputs(
         scene, clip, blocks, cfg.clip_capacity)
     tri_id, depth, setup = raster_corners(
@@ -67,6 +69,38 @@ def sparse_occupancy(scene, params, state, cfg):
     stats.update(contact.contact_occupancy(
         sub(g.world), sub(normal), uni, state.prev_depth,
         valid=sub(g.valid)))
+
+    # Cascade blend-band size (would c1-classification be skippable?) and
+    # per-screen-tile shadow-cell spans (viability of tile-local one-hot
+    # cell selection instead of per-pixel gathers).
+    c0, c1, t = shadow_filter.select_cascade_blend(sub(view_depth),
+                                                   uni.cascade_splits)
+    stats["blend_band"] = jnp.sum(sub(g.valid) & (t > 0.0))
+
+    uv, _, _, inb = shadow_filter._light_project(
+        uni, c0, sub(g.world), sub(normal), sub(n_dot_l))
+    sc = cfg.shadow_map_size // cfg.class_coarse
+    cc = jnp.clip((uv * sc).astype(jnp.int32), 0, sc - 1)
+    th, tw = 64, 128
+    h2, w2 = inb.shape
+    mask = (inb & sub(g.valid))[:h2 // th * th, :w2 // tw * tw]
+
+    def tiled(a):
+        return a[:h2 // th * th, :w2 // tw * tw].reshape(
+            h2 // th, th, w2 // tw, tw).transpose(0, 2, 1, 3)
+
+    big = jnp.int32(1 << 30)
+    tm = tiled(mask)
+    spans = []
+    for axis in (0, 1):
+        ta = tiled(cc[..., axis])
+        amin = jnp.where(tm, ta, big).min(axis=(2, 3))
+        amax = jnp.where(tm, ta, -1).max(axis=(2, 3))
+        spans.append(jnp.where(amax >= 0, amax - amin + 1, 0))
+    span = spans[0] * spans[1]
+    stats["tile_cell_span_max"] = span.max()
+    stats["tile_cell_span_mean"] = span.sum() / jnp.maximum(
+        (span > 0).sum(), 1)
     return stats
 
 
@@ -79,6 +113,10 @@ def measure_sparse_occupancy(scene, params, cfg, frames: int = 2):
     frame = compiled_gltf_frame(cfg)
     for _ in range(frames):
         _, state = frame(scene, params, state)
+    import numpy as np
+
     stats = jax.jit(sparse_occupancy, static_argnums=(3,))(
         scene, params, state, cfg)
-    return {k: int(v) for k, v in stats.items()}
+    return {k: (int(v) if np.asarray(v).size == 1
+                else tuple(int(x) for x in np.asarray(v).ravel()))
+            for k, v in stats.items()}

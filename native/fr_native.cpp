@@ -3,9 +3,12 @@
 // The reference renderer's only CPU-side hot loops are asset decoding
 // (Rust `image` crate decoding DuckCM.png and glTF buffers,
 // gltf_loader.rs:89-127). This library provides the same role natively:
-// a complete 8-bit PNG decoder (zlib inflate + scanline unfilter + RGBA8
-// expansion) exposed through a C ABI for ctypes. The pure-Python decoder
-// in models/png_io.py remains as the portable fallback.
+// a complete PNG decoder (zlib inflate + scanline unfilter + RGBA8
+// expansion; bit depths 1/2/4/8/16, Adam7 interlacing — the `image`
+// crate's coverage; 16-bit folds to the high byte like
+// DynamicImage::to_rgba8) exposed through a C ABI for ctypes. The
+// pure-Python decoder in models/png_io.py remains as the portable
+// fallback.
 //
 // Build: make -C native   (g++ -O3 -shared, links system zlib)
 
@@ -58,7 +61,10 @@ PngMeta parse(const uint8_t* data, size_t len) {
     }
     pos += 12 + clen;
   }
-  m.ok = (m.width && m.height && m.bit_depth == 8 && m.interlace == 0);
+  const bool depth_ok = m.bit_depth == 1 || m.bit_depth == 2 ||
+                        m.bit_depth == 4 || m.bit_depth == 8 ||
+                        m.bit_depth == 16;
+  m.ok = (m.width && m.height && depth_ok && m.interlace <= 1);
   return m;
 }
 
@@ -119,11 +125,39 @@ bool unfilter(uint8_t* rows, uint32_t h, size_t stride, int bpp) {
   return true;
 }
 
+// Expand one unfiltered scanline into w*ch bytes (one byte per channel
+// sample): 16-bit takes the high byte; 1/2/4-bit unpack MSB-first and
+// rescale to 0..255 for gray (palette indices stay raw).
+void expand_row(const uint8_t* row, uint32_t w, int ch, int depth,
+                bool rescale_gray, uint8_t* px) {
+  if (depth == 8) {
+    std::memcpy(px, row, size_t(w) * ch);
+    return;
+  }
+  if (depth == 16) {
+    for (size_t i = 0; i < size_t(w) * ch; ++i) px[i] = row[2 * i];
+    return;
+  }
+  const int per = 8 / depth;
+  const uint8_t max_v = uint8_t((1 << depth) - 1);
+  const uint8_t scale = rescale_gray ? uint8_t(255 / max_v) : 1;
+  for (uint32_t x = 0; x < w; ++x) {
+    const uint8_t byte = row[x / per];
+    const int shift = 8 - depth * (x % per + 1);
+    px[x] = uint8_t(((byte >> shift) & max_v) * scale);
+  }
+}
+
+// Adam7 pass grid (PNG spec 8.2): x0, y0, dx, dy per pass.
+constexpr int kAdam7[7][4] = {{0, 0, 8, 8}, {4, 0, 8, 8}, {0, 4, 4, 8},
+                              {2, 0, 4, 4}, {0, 2, 2, 4}, {1, 0, 2, 2},
+                              {0, 1, 1, 2}};
+
 }  // namespace
 
 extern "C" {
 
-// Returns 0 on success and fills w/h. Supports 8-bit non-interlaced PNGs.
+// Returns 0 on success and fills w/h.
 int fr_png_info(const uint8_t* data, size_t len, int* w, int* h) {
   PngMeta m = parse(data, len);
   if (!m.ok || channels_for(m.color_type) == 0) return -1;
@@ -137,19 +171,60 @@ int fr_png_decode_rgba(const uint8_t* data, size_t len, uint8_t* out) {
   PngMeta m = parse(data, len);
   int ch = channels_for(m.color_type);
   if (!m.ok || ch == 0) return -1;
+  const int depth = m.bit_depth;
+  const bool rescale_gray = depth < 8 && m.color_type == 0;
 
-  const size_t stride = size_t(m.width) * ch;
-  std::vector<uint8_t> raw(m.height * (stride + 1));
+  // Pass layout: one full-frame pass, or the 7 Adam7 sub-images.
+  struct Pass { uint32_t x0, y0, dx, dy, w, h; size_t stride; };
+  std::vector<Pass> passes;
+  if (m.interlace == 0) {
+    passes.push_back({0, 0, 1, 1, m.width, m.height,
+                      (size_t(m.width) * ch * depth + 7) / 8});
+  } else {
+    for (auto& p : kAdam7) {
+      const uint32_t x0 = p[0], y0 = p[1], dx = p[2], dy = p[3];
+      if (m.width <= x0 || m.height <= y0) continue;
+      const uint32_t wp = (m.width - x0 + dx - 1) / dx;
+      const uint32_t hp = (m.height - y0 + dy - 1) / dy;
+      passes.push_back({x0, y0, dx, dy, wp, hp,
+                        (size_t(wp) * ch * depth + 7) / 8});
+    }
+  }
+  size_t raw_size = 0;
+  for (auto& p : passes) raw_size += size_t(p.h) * (p.stride + 1);
+
+  std::vector<uint8_t> raw(raw_size);
   uLongf raw_len = uLongf(raw.size());
   if (uncompress(raw.data(), &raw_len, m.idat.data(),
                  uLong(m.idat.size())) != Z_OK ||
       raw_len != raw.size()) {
     return -2;
   }
-  if (!unfilter(raw.data(), m.height, stride, ch)) return -3;
+
+  // Unfilter every pass, expand samples to one byte each, and place them
+  // into the assembled (h, w*ch) image.
+  const int bpp = depth < 8 ? 1 : ch * depth / 8;
+  std::vector<uint8_t> img(size_t(m.height) * m.width * ch);
+  std::vector<uint8_t> px;
+  size_t off = 0;
+  for (auto& p : passes) {
+    if (!unfilter(raw.data() + off, p.h, p.stride, bpp)) return -3;
+    px.resize(size_t(p.w) * ch);
+    for (uint32_t y = 0; y < p.h; ++y) {
+      const uint8_t* row = raw.data() + off + y * (p.stride + 1) + 1;
+      expand_row(row, p.w, ch, depth, rescale_gray, px.data());
+      uint8_t* dst_row = img.data() +
+          (size_t(p.y0) + size_t(y) * p.dy) * m.width * ch;
+      for (uint32_t x = 0; x < p.w; ++x) {
+        std::memcpy(dst_row + (size_t(p.x0) + size_t(x) * p.dx) * ch,
+                    px.data() + size_t(x) * ch, ch);
+      }
+    }
+    off += size_t(p.h) * (p.stride + 1);
+  }
 
   for (uint32_t y = 0; y < m.height; ++y) {
-    const uint8_t* row = raw.data() + y * (stride + 1) + 1;
+    const uint8_t* row = img.data() + size_t(y) * m.width * ch;
     uint8_t* dst = out + size_t(y) * m.width * 4;
     switch (m.color_type) {
       case 0:  // gray

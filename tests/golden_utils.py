@@ -79,10 +79,79 @@ def render_sdf():
     return np.asarray(img[..., :3])
 
 
+def render_duck_pcf():
+    from funky_tpu.frame import GltfFrameFlags
+
+    return _duck_frame(GltfFrameFlags(use_pcss=False))
+
+
+def render_duck_no_taa():
+    from funky_tpu.frame import GltfFrameFlags
+
+    return _duck_frame(GltfFrameFlags(use_shadow_taa=False))
+
+
+def render_duck_contact_only():
+    from funky_tpu.frame import GltfFrameFlags
+
+    return _duck_frame(GltfFrameFlags(enable_shadows=False,
+                                      enable_contact_shadows=True),
+                       frames=3)
+
+
+def render_duck_ui():
+    """Full frame + debug-panel composite (the overlay path)."""
+    from funky_tpu.app.driver import FrameDriver
+    from funky_tpu.frame import GltfConfig
+    from funky_tpu.models.png_io import srgb_to_linear
+    from funky_tpu.ops.raster import RasterConfig
+
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=4352, backend="jnp")
+    cfg = GltfConfig(width=448, height=256, shadow_map_size=256,
+                     raster=tile, shadow_raster=tile)
+    drv = FrameDriver(cfg, scene_path=str(DUCK))
+    for _ in range(2):
+        drv.step()
+    # readback() returns sRGB; goldens store linear -> round-trip back.
+    return srgb_to_linear(drv.readback())
+
+
+def render_multimesh():
+    import tempfile
+
+    from funky_tpu.frame import (GltfConfig, compiled_gltf_frame,
+                                 default_gltf_params, init_frame_state)
+    from funky_tpu.models.gltf import GltfScene
+    from funky_tpu.models.sample_scenes import build_multimesh_glb
+    from funky_tpu.models.scene import build_device_scene
+    from funky_tpu.ops.raster import RasterConfig
+
+    with tempfile.TemporaryDirectory() as td:
+        glb = build_multimesh_glb(pathlib.Path(td) / "multi.glb",
+                                  two_textures=True)
+        scene = GltfScene.load(glb)
+    ds = build_device_scene(scene)
+    tile = RasterConfig(tile_h=16, tile_w=128, backend="jnp")
+    cfg = GltfConfig(width=256, height=144, shadow_map_size=256,
+                     raster=tile, shadow_raster=tile)
+    params = default_gltf_params(gltf_min_y=float(scene.bounds_min[1]),
+                                 gltf_scale=1.0)
+    frame = compiled_gltf_frame(cfg)
+    state = init_frame_state(cfg)
+    for _ in range(2):
+        rgba, state = frame(ds, params, state)
+    return np.asarray(rgba[..., :3])
+
+
 GOLDENS = {
     "cube_r06_128.png": render_cube,
     "duck_shadows_256x144.png": render_duck,
     "duck_cascade_debug_256x144.png": render_duck_cascades,
+    "duck_pcf_256x144.png": render_duck_pcf,
+    "duck_no_taa_256x144.png": render_duck_no_taa,
+    "duck_contact_only_256x144.png": render_duck_contact_only,
+    "duck_ui_448x256.png": render_duck_ui,
+    "multimesh_pbr_256x144.png": render_multimesh,
     "sdf_t1_160x96.png": render_sdf,
 }
 

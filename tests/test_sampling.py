@@ -124,3 +124,32 @@ def test_nearest_border_packed_texel_centers():
             v = sampling.sample_nearest_border_packed(
                 packed, jnp.int32(1), uv)
             assert float(v) == 16 + iy * 4 + ix
+
+
+def test_layered_repeat_matches_per_texture():
+    """Layered packed REPEAT sampling == plain repeat sampling of each
+    layer's TRUE-size texture (wrap padding + true-size mod are exact)."""
+    import numpy as np
+
+    from funky_tpu.ops.sampling import (
+        quad_pack_nhwc, sample_bilinear_repeat,
+        sample_bilinear_repeat_packed_layers)
+
+    rng = np.random.default_rng(7)
+    t0 = rng.random((2, 2, 4)).astype(np.float32)
+    t1 = rng.random((4, 4, 4)).astype(np.float32)
+    # wrap-pad t0 to 4x4 like models/scene._pack_texture_layers
+    t0p = np.tile(t0, (2, 2, 1))
+    layers = jnp.asarray(np.stack([t0p, t1]))
+    sizes = jnp.asarray([[2.0, 2.0], [4.0, 4.0]])
+    packed = jax.vmap(quad_pack_nhwc)(layers)
+
+    uv = jnp.asarray(rng.uniform(-1.5, 2.5, (64, 2)).astype(np.float32))
+    layer = jnp.asarray(rng.integers(0, 2, 64).astype(np.int32))
+    got = sample_bilinear_repeat_packed_layers(packed, sizes, layer, uv)
+
+    want0 = sample_bilinear_repeat(jnp.asarray(t0), uv)
+    want1 = sample_bilinear_repeat(jnp.asarray(t1), uv)
+    want = jnp.where((layer == 0)[:, None], want0, want1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)

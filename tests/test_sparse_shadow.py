@@ -64,13 +64,19 @@ def test_compact_overflow_and_groups():
 
 def _sloped_maps(key, l=2, s=256, slope=0.0001):
     """Ground-plane-like cascades: depth slopes across uv (the case that
-    defeats naive min/max classification) plus a nearer occluder blob."""
+    defeats naive min/max classification) plus a nearer occluder blob.
+    Returns (maps, planes): the matching uv-space analytic planes the
+    anchor-residual bounds are measured against."""
     x = jnp.arange(s, dtype=jnp.float32)
     base = 0.5 + slope * x[None, None, :] + slope * 0.3 * x[None, :, None]
     maps = jnp.broadcast_to(base, (l, s, s))
     maps = maps.at[:, 60:180, 80:200].set(0.25)          # occluder blob
     noise = jax.random.uniform(key, (l, s, s)) * 1e-5
-    return jnp.clip(maps + noise, 0.0, 1.0)
+    # texel x = u*s - 0.5  =>  base(u, v) in uv coordinates:
+    planes = jnp.tile(jnp.asarray(
+        [[slope * s, 0.3 * slope * s,
+          0.5 - 0.5 * slope - 0.15 * slope]], jnp.float32), (l, 1))
+    return jnp.clip(maps + noise, 0.0, 1.0), planes
 
 
 def _test_uniforms(s, softness):
@@ -91,10 +97,11 @@ def test_classification_sound_vs_exact_taps(use_pcss):
     from funky_tpu.passes.shadow_filter import _pcf_taps, _pcss_taps
 
     key = jax.random.PRNGKey(3)
-    maps = _sloped_maps(key)
+    maps, planes = _sloped_maps(key)
     s = maps.shape[1]
     cmaps = shadow_classify.build_class_maps(maps, coarse=8,
-                                             max_softness=4.0)
+                                             max_softness=4.0,
+                                             planes=planes)
     packed = jax.vmap(quad_pack)(maps)
 
     n = 8192
@@ -148,9 +155,10 @@ def test_classification_sound_vs_exact_taps(use_pcss):
 
 def test_classification_respects_softness_budget():
     key = jax.random.PRNGKey(0)
-    maps = _sloped_maps(key)
+    maps, planes = _sloped_maps(key)
     cmaps = shadow_classify.build_class_maps(maps, coarse=8,
-                                             max_softness=2.0)
+                                             max_softness=2.0,
+                                             planes=planes)
     uv = jnp.asarray([[0.5, 0.5]])
     recv = jnp.asarray([0.9])
     layer = jnp.asarray([0])
