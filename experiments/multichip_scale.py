@@ -16,6 +16,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
+# 8 virtual devices time-share one physical core: a full-scale slab takes
+# minutes, far beyond the default 20 s/40 s collective rendezvous
+# warn/abort (DebugOptions, passed at compile time below).
+_TIMEOUTS = {
+    "xla_cpu_collective_call_warn_stuck_seconds": int(os.environ.get("WT", 3600)),
+    "xla_cpu_collective_call_terminate_timeout_seconds": int(os.environ.get("TT", 7200)),
+    "xla_cpu_collective_timeout_seconds": 7200,
+}
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -55,15 +64,27 @@ def main():
     from funky_tpu.parallel.mesh import make_mesh
     from funky_tpu.parallel.sharded_frame import sharded_gltf_frame
 
-    full = os.environ.get("SCALE", "full") == "full"
-    if full:
-        w, h, sm = 1920, 1080, 2048
-        tile = RasterConfig(tile_h=32, tile_w=128, capacity=1664,
+    scale = os.environ.get("SCALE", "full")
+    if scale == "mid":
+        # Largest scale that clears XLA-CPU's HARDCODED 40 s collective
+        # rendezvous abort (8 virtual devices execute serially on this
+        # 1-core host, so skew ~= 7x the per-slab front time; the
+        # DebugOptions timeouts are not plumbed into rendezvous.cc in
+        # this jaxlib). Full-scale collective BYTES still come from the
+        # compiled HLO below, which needs no execution.
+        w, h, sm = 960, 512, 1024
+        tile = RasterConfig(tile_h=16, tile_w=128, backend="jnp")
+        stile = RasterConfig(tile_h=128, tile_w=128, backend="jnp")
+    elif scale == "full":
+        # 1088 rows: 8 slabs of 136 = 17 tiles of 8 (1080 doesn't split
+        # into 8 tile-aligned slabs; the demo renders 1088 too)
+        w, h, sm = 1920, 1088, 2048
+        tile = RasterConfig(tile_h=8, tile_w=128, capacity=1664,
                             backend="jnp")
         stile = RasterConfig(tile_h=128, tile_w=128, capacity=4224,
                              backend="jnp")
     else:
-        w, h, sm = 512, 288, 512
+        w, h, sm = 512, 256, 512
         tile = RasterConfig(tile_h=16, tile_w=128, backend="jnp")
         stile = RasterConfig(tile_h=64, tile_w=128, backend="jnp")
     cfg = GltfConfig(width=w, height=h, shadow_map_size=sm,
@@ -78,7 +99,8 @@ def main():
 
     # --- collective accounting from the compiled HLO ---
     state0 = init_frame_state(cfg)
-    compiled = sharded.lower(scene, params, state0).compile()
+    compiled = sharded.lower(scene, params, state0).compile(
+        compiler_options=_TIMEOUTS)
     stats = collective_bytes(compiled.as_text())
     total = 0
     print(f"# collectives per frame at {w}x{h} / {sm}^2, 8-way rows:")
@@ -93,7 +115,7 @@ def main():
     st_s, st_m = init_frame_state(cfg), init_frame_state(cfg)
     for i in range(2):
         rgba_s, st_s = single(scene, params, st_s)
-        rgba_m, st_m = sharded(scene, params, st_m)
+        rgba_m, st_m = compiled(scene, params, st_m)
         a, b = np.asarray(rgba_s), np.asarray(rgba_m)
         if np.array_equal(a, b):
             print(f"# frame {i}: BIT-EXACT ({a.shape})")

@@ -79,9 +79,10 @@ def main():
     cfg = GltfConfig(
         raster=RasterConfig(tile_h=32, tile_w=128, capacity=1664),
         shadow_raster=RasterConfig(tile_h=128, tile_w=128, capacity=4224),
-        shadow_pen_capacity=102400,
+        shadow_pen_capacity=122880,
+        shadow_pen_cascade_caps=(55296, 64512, 6144, 1024),
         contact_capacity=119808,
-        contact_march_capacity=44032,
+        contact_march_capacity=51200,
     )
 
     # Real intermediates: run two frames, capture state + inputs.
@@ -138,6 +139,10 @@ def main():
 
     cmaps = jax.jit(build_class_maps, static_argnums=(1, 2))(
         raw, cfg.class_coarse, cfg.max_softness, planes)
+    # jit outputs turn every NamedTuple leaf into an array; classify
+    # needs the static fields back as Python scalars.
+    cmaps = cmaps._replace(size=int(cmaps.size), coarse=int(cmaps.coarse),
+                           max_softness=float(cmaps.max_softness))
     packed = jax.jit(lambda r: jax.vmap(quad_pack)(r))(raw)
     c0, c1, t = jax.jit(shadow_filter.select_cascade_blend)(
         view_depth, uni.cascade_splits)
@@ -171,15 +176,33 @@ def main():
         [frag, frag], axis=-1).reshape(h * w, 4)
     payload2 = jnp.concatenate([payload, payload], axis=0)
 
-    uv_e = jax.jit(lambda p: gather_rows(p, comp))(payload2)[:, :2] / 2048.0
-    recv_e = jnp.full((cfg.shadow_pen_capacity,), 0.8)
-    layer_e = jnp.zeros((cfg.shadow_pen_capacity,), jnp.int32)
-    phi_e = jnp.linspace(0, 6.28, cfg.shadow_pen_capacity)
+    ncap = 64512
+    uv_e = jax.jit(lambda p: gather_rows(p, comp))(payload2)[:ncap, :2] / 2048.0
+    recv_e = jnp.full((ncap,), 0.8)
+    layer_e = jnp.zeros((ncap,), jnp.int32)
+    phi_e = jnp.linspace(0, 6.28, ncap)
 
     timeit(lambda u, r, p: shadow_filter._pcss_taps(
-        uni, packed, layer_e, u, r, p)[0],
-        uv_e, recv_e, phi_e, label=f"pcss taps @{cfg.shadow_pen_capacity}",
-        n=4)
+        uni, packed[0:1], layer_e, u, r, p)[0],
+        uv_e, recv_e, phi_e, label="pcss taps @64512 (1 casc table)",
+        n=2)
+
+    from funky_tpu.ops.sampling import (
+        sample_bilinear_repeat_packed_layers, quad_pack_nhwc,
+        sample_nearest_edge)
+
+    tex_packed = jax.jit(lambda t: jax.vmap(quad_pack_nhwc)(t))(
+        scene.texture)
+    layer_px = jnp.zeros((h, w), jnp.int32)
+
+    timeit(lambda uv: sample_bilinear_repeat_packed_layers(
+        tex_packed, scene.texture_sizes, layer_px,
+        uv / jnp.asarray([float(w), float(h)])),
+        frag, label="texture sample dense")
+
+    timeit(lambda uv: sample_nearest_edge(
+        state.shadow_history, uv / jnp.asarray([float(w), float(h)])),
+        frag, label="history nearest dense")
 
     packed_c0 = packed[0]
 
@@ -198,8 +221,9 @@ def main():
     def full_sparse(world, normal, n_dot_l, view_depth, frag):
         s, _, _, _ = shadow_filter.cascaded_shadow_sparse(
             uni, packed, cmaps, world, normal, n_dot_l, view_depth, frag,
-            True, g.valid, cfg.shadow_pen_capacity)
-        return s.shadow
+            True, g.valid, cfg.shadow_pen_capacity,
+            cfg.shadow_pen_cascade_caps)
+        return s.v
 
     timeit(full_sparse, g.world, normal, n_dot_l, view_depth, frag,
            label="cascaded_shadow_sparse total")

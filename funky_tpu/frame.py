@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from . import math3d as m3
 from .models.scene import DeviceScene
-from .ops.raster import RasterConfig, raster_corners, raster_scene
+from .ops.raster import RasterConfig, raster_corners
 from .passes import deferred, geometry, shading
 
 CUBE_CLEAR = (0.39, 0.58, 0.93)    # cornflower blue (cube.rs:277)
@@ -217,6 +217,18 @@ class GltfConfig:
     # Static slots for near-plane-crossing triangles in the main pass
     # (ops/clipping.py); 0 disables (crossing triangles cull whole).
     clip_capacity: int = 64
+    # Block-sparse texture sampling: max textured 8x8 screen blocks
+    # (passes/shading.py). None = auto (a quarter of the screen's blocks);
+    # 0 = dense. Overflow falls back to dense sampling (exact).
+    texture_block_capacity: int | None = None
+
+    @property
+    def effective_texture_blocks(self) -> int | None:
+        if self.texture_block_capacity == 0:
+            return None
+        if self.texture_block_capacity is not None:
+            return self.texture_block_capacity
+        return max((self.height // 8) * (self.width // 8) // 4, 64)
 
     @property
     def aspect(self) -> float:
@@ -424,7 +436,8 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
     else:
         rgba = shading.shade_gltf(gbuf, scene.texture, scene.texture_sizes,
                                   uni.camera_pos, uni.light_dir,
-                                  shadow_term, background)
+                                  shadow_term, background,
+                                  cfg.effective_texture_blocks)
     return rgba, new_history
 
 

@@ -74,6 +74,33 @@ def compact_indices(mask: jnp.ndarray, capacity: int,
                      slot_valid=slot_valid, count=count)
 
 
+def compact_blocks(mask: jnp.ndarray, bh: int, bw: int,
+                   capacity_blocks: int) -> Compacted:
+    """Whole-block compaction of a 2D mask: every (bh, bw) block with ANY
+    True pixel expands to all its pixel indices. The argsort runs over
+    the tiny block grid instead of the pixel grid (a 2M-pixel mask costs
+    a ~4 ms sort; its 32k-block grid costs ~0.1 ms) — the right tool
+    when the masked pixels cluster spatially (e.g. textured model
+    pixels). Returns a pixel-level Compacted whose `count` is the TRUE
+    BLOCK count (compare against capacity_blocks for overflow)."""
+    h, w = mask.shape
+    assert h % bh == 0 and w % bw == 0
+    gh, gw = h // bh, w // bw
+    bm = mask.reshape(gh, bh, gw, bw).any(axis=(1, 3))
+    comp_b = compact_indices(bm, capacity_blocks)
+    safe = jnp.maximum(comp_b.idx, 0)
+    by = safe // gw
+    bx = safe % gw
+    py = by[:, None, None] * bh + jnp.arange(bh, dtype=jnp.int32)[None, :,
+                                                                  None]
+    px = bx[:, None, None] * bw + jnp.arange(bw, dtype=jnp.int32)[None,
+                                                                  None, :]
+    idx = (py * w + px).reshape(-1)
+    slot_valid = jnp.repeat(comp_b.slot_valid, bh * bw)
+    return Compacted(idx=jnp.where(slot_valid, idx, -1),
+                     slot_valid=slot_valid, count=comp_b.count)
+
+
 def gather_rows(table: jnp.ndarray, comp: Compacted) -> jnp.ndarray:
     """Gather payload rows (flat-first-dim `table`) for compacted elements;
     padding slots fetch row 0 (callers mask with comp.slot_valid)."""

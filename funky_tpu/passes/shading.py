@@ -67,13 +67,21 @@ def shade_cube(gbuf: GBuffer, camera_pos: jnp.ndarray,
 def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray,
                texture_sizes: jnp.ndarray, camera_pos: jnp.ndarray,
                light_dir: jnp.ndarray, shadow: jnp.ndarray,
-               background: jnp.ndarray) -> jnp.ndarray:
+               background: jnp.ndarray,
+               texture_block_capacity: int | None = None) -> jnp.ndarray:
     """gltf.frag main lighting (gltf.frag:592-655), with the shadow term
     (already TAA'd and min'd with contact shadows) supplied.
 
     texture is layered (N, H, W, 4); the per-pixel layer comes from the
     triangle flag high bits (per-mesh textures — an extension over the
     reference's single binding, gltf_renderer.rs:217-277).
+
+    texture_block_capacity: sample the texture only for 8x8 screen blocks
+    that contain textured pixels (compacted; the duck covers a few % of
+    the screen but its 512^2 packed table gathers at the above-cliff
+    rate, ~24 ms dense at 1080p). None = dense. Overflow falls back to
+    the dense sampling via lax.cond (exact either way — identical
+    sampler on identical inputs).
 
     Returns (H, W, 4) linear RGBA.
     """
@@ -83,8 +91,31 @@ def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray,
     # The barrier keeps the packing rolls from fusing into the gather.
     tex_packed = jax.lax.optimization_barrier(
         jax.vmap(quad_pack_nhwc)(texture))
-    tex = sample_bilinear_repeat_packed_layers(tex_packed, texture_sizes,
-                                               layer, gbuf.uv)
+
+    def sample_dense(_):
+        return sample_bilinear_repeat_packed_layers(
+            tex_packed, texture_sizes, layer, gbuf.uv)
+
+    h, w = gbuf.flags.shape
+    if (texture_block_capacity is not None and h % 8 == 0 and w % 8 == 0):
+        from ..ops.compact import (compact_blocks, gather_rows,
+                                   scatter_back)
+
+        n = h * w
+        comp = compact_blocks(use_texture, 8, 8, texture_block_capacity)
+
+        def sample_blocks(_):
+            uv_e = gather_rows(gbuf.uv.reshape(n, 2), comp)
+            layer_e = gather_rows(layer.reshape(n), comp)
+            vals = sample_bilinear_repeat_packed_layers(
+                tex_packed, texture_sizes, layer_e, uv_e)
+            return scatter_back(jnp.ones((n, 4), jnp.float32), comp,
+                                vals).reshape(h, w, 4)
+
+        tex = jax.lax.cond(comp.count <= texture_block_capacity,
+                           sample_blocks, sample_dense, operand=None)
+    else:
+        tex = sample_dense(None)
     tex = jnp.where(use_texture[..., None], tex, 1.0)
 
     normal = _normalize(gbuf.normal)

@@ -77,6 +77,14 @@ def sparse_occupancy(scene, params, state, cfg):
                                                    uni.cascade_splits)
     stats["blend_band"] = jnp.sum(sub(g.valid) & (t > 0.0))
 
+    # 8x8 screen blocks containing textured pixels (block-sparse texture
+    # sampling capacity, passes/shading.py)
+    tex_mask = g.valid & ((g.flags & 1) != 0)
+    hh, ww = tex_mask.shape
+    stats["texture_blocks"] = jnp.sum(
+        tex_mask[:hh // 8 * 8, :ww // 8 * 8].reshape(
+            hh // 8, 8, ww // 8, 8).any(axis=(1, 3)))
+
     uv, _, _, inb = shadow_filter._light_project(
         uni, c0, sub(g.world), sub(normal), sub(n_dot_l))
     sc = cfg.shadow_map_size // cfg.class_coarse

@@ -118,3 +118,29 @@ def test_per_mesh_textures_render(tmp_path):
     assert left[..., 0][reddish].std() > 0.08    # checker modulation
     blue = (right[..., 2] > right[..., 0] * 1.5) & (right[..., 2] > 0.15)
     assert blue.sum() > 20
+
+
+def test_block_sparse_texture_matches_dense(tmp_path):
+    """Block-sparse texture sampling (8x8 textured-block compaction) is
+    bit-identical to dense sampling, including at tiny capacities (dense
+    lax.cond fallback)."""
+    import dataclasses
+
+    scene = GltfScene.load(_build_test_glb(tmp_path, two_textures=True))
+    ds = build_device_scene(scene)
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=128, backend="jnp")
+    base = GltfConfig(width=256, height=144, shadow_map_size=128,
+                      raster=tile, shadow_raster=tile)
+    params = default_gltf_params(gltf_min_y=float(scene.bounds_min[1]),
+                                 gltf_scale=1.0)
+
+    def run(cfg):
+        rgba, _ = compiled_gltf_frame(cfg)(ds, params,
+                                           init_frame_state(cfg))
+        return np.asarray(rgba)
+
+    dense = run(dataclasses.replace(base, texture_block_capacity=0))
+    auto = run(base)
+    tiny = run(dataclasses.replace(base, texture_block_capacity=2))
+    np.testing.assert_array_equal(auto, dense)
+    np.testing.assert_array_equal(tiny, dense)
