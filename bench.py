@@ -116,6 +116,9 @@ def main():
 
         occ = measure_sparse_occupancy(scene, params, cfg)
 
+        def blocks128(count):
+            return max(-(-int(count * 1.3) // 128) * 128, 128)
+
         def cap1k(count, headroom=1.3):
             # padded slots pay real gather cost; occupancy drifts only a
             # few % frame-to-frame (IGN jitter), and overflow is an
@@ -129,8 +132,9 @@ def main():
                 cap1k(c) for c in occ["pairs_per_cascade"]),
             contact_capacity=cap1k(occ["contact_stage2"]),
             contact_march_capacity=cap1k(occ["contact_march"]),
-            texture_block_capacity=max(
-                -(-int(occ["texture_blocks"] * 1.3) // 128) * 128, 128))
+            texture_block_capacity=blocks128(occ["texture_blocks"]),
+            shadow_pen_block_capacity=blocks128(occ["pair_blocks"]),
+            contact_block_capacity=blocks128(occ["contact_blocks"]))
         print(f"# sparse occupancy {occ} -> pen_capacity "
               f"{cfg.shadow_pen_capacity}, contact_capacity "
               f"{cfg.contact_capacity}, march "
@@ -177,6 +181,24 @@ def main():
             cfg, flags=GltfFrameFlags(half_res_shadows=True))
         fps_half = chained(compiled_gltf_frame(half), init_frame_state(half))
         print(f"# half-res shadows: {fps_half:.2f} fps", file=sys.stderr)
+
+        from funky_tpu.models.sdf import (SdfConfig, compiled_sdf_frame,
+                                          default_sdf_camera)
+
+        scfg = SdfConfig(width=960, height=540)
+        sdf_frame = compiled_sdf_frame(scfg)
+        pos, yaw, pitch, fov = default_sdf_camera()
+        # pre-staged params, async dispatch, one drain (NO eager ops in
+        # the loop — each costs ~100 ms of remote dispatch, CLAUDE.md)
+        ts = [1.0 + i * 0.02 for i in range(20)]
+        img = sdf_frame(ts[0], pos, yaw, pitch, fov)
+        float(np.asarray(img.ravel()[0]))
+        t0 = time.perf_counter()
+        for t in ts:
+            img = sdf_frame(t, pos, yaw, pitch, fov)
+        float(np.asarray(img.ravel()[0]))
+        print(f"# sdf 960x540: {20 / (time.perf_counter() - t0):.1f} fps",
+              file=sys.stderr)
 
         ccfg = FrameConfig(width=512, height=512)
         cscene = build_cube_scene()

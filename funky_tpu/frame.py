@@ -202,6 +202,11 @@ class GltfConfig:
     # per-cascade pair capacities (4-tuple) — lets each cascade's taps
     # gather from its own small table; None = shadow_pen_capacity each.
     shadow_pen_cascade_caps: tuple | None = None
+    # two-level compaction block budgets (8x8 candidate blocks); tune
+    # from measured block occupancy (diagnostics) — the candidate-domain
+    # size drives the second sort + mask gathers. None = capacity // 16.
+    shadow_pen_block_capacity: int | None = None
+    contact_block_capacity: int | None = None
     # classification budget: frames with softness > max_softness fall back
     # to exact taps everywhere (correct, slower). Class-map coarseness in
     # fine texels per cell.
@@ -372,7 +377,8 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
             return shadow_filter.cascaded_shadow_sparse(
                 uni, shadow_maps, class_maps, world_s, normal_s, ndl_s,
                 vdepth_s, frag_s, flags.use_pcss, valid_s,
-                cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps)
+                cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
+                cfg.shadow_pen_block_capacity)
         return shadow_filter.cascaded_shadow(
             uni, shadow_maps, world_s, normal_s, ndl_s, vdepth_s, frag_s,
             flags.use_pcss)
@@ -406,7 +412,8 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
             return contact.compute_contact_shadow_sparse(
                 world_s, normal_s, uni_s, depth_s, y0_s,
                 capacity=cfg.contact_capacity,
-                march_capacity=cfg.contact_march_capacity, valid=valid_s)
+                march_capacity=cfg.contact_march_capacity, valid=valid_s,
+                block_capacity=cfg.contact_block_capacity)
     else:
         def contact_fn(world_s, normal_s, uni_s, depth_s, y0_s, valid_s):
             return contact.compute_contact_shadow(world_s, normal_s, uni_s,

@@ -101,6 +101,64 @@ def compact_blocks(mask: jnp.ndarray, bh: int, bw: int,
                      slot_valid=slot_valid, count=comp_b.count)
 
 
+class BlockedCompacted(NamedTuple):
+    comp: Compacted          # element-level result (original flat domain)
+    block_count: jnp.ndarray  # () int32 TRUE candidate-block count —
+    #                           include `block_count <= block_capacity`
+    #                           in the caller's overflow check
+
+
+def compact_indices_blocked(mask: jnp.ndarray, capacity: int,
+                            bh: int, bw: int, block_capacity: int,
+                            group_key: jnp.ndarray | None = None
+                            ) -> BlockedCompacted:
+    """Two-level compaction for spatially-clustered masks: argsort the
+    (bh, bw)-block-any grid first (e.g. 65k keys instead of 4M — the
+    full-domain sort costs ~2 ns/key on TPU), then compact elements
+    within the candidate blocks only. Selects the SAME element set as
+    compact_indices (order differs: block-major instead of raster — fine
+    for independent-entry evaluation); `count` is still the true element
+    count. Blocks beyond block_capacity are DROPPED — callers must treat
+    `block_count > block_capacity` as overflow."""
+    *lead, h, w = mask.shape
+    assert h % bh == 0 and w % bw == 0
+    gh, gw = h // bh, w // bw
+    bm = mask.reshape(*lead, gh, bh, gw, bw).any(axis=(-3, -1))
+    comp_b = compact_indices(bm, block_capacity)
+
+    safe = jnp.maximum(comp_b.idx, 0)
+    li = safe // (gh * gw)
+    bi = safe % (gh * gw)
+    by = bi // gw
+    bx = bi % gw
+    base = (li * h + by * bh) * w + bx * bw
+    within = (jnp.arange(bh, dtype=jnp.int32)[:, None] * w
+              + jnp.arange(bw, dtype=jnp.int32)[None, :])
+    cand = (base[:, None, None] + within[None]).reshape(-1)
+    cand_valid = jnp.repeat(comp_b.slot_valid, bh * bw)
+    cand_safe = jnp.maximum(cand, 0)
+
+    flat = mask.ravel()
+    m = flat[cand_safe] & cand_valid
+    n_cand = cand.shape[0]
+    capacity = min(capacity, n_cand)
+    arange = jnp.arange(n_cand, dtype=jnp.int32)
+    if group_key is None:
+        order = jnp.argsort(~m, stable=True)
+    else:
+        gk = group_key.ravel()[cand_safe]
+        key = jnp.where(m, gk * n_cand + arange,
+                        jnp.int32(group_key.max() + 1) * n_cand + arange)
+        order = jnp.argsort(key)
+    order = order[:capacity]
+    count = jnp.sum(flat, dtype=jnp.int32)
+    slot_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
+        count, capacity)
+    comp = Compacted(idx=jnp.where(slot_valid, cand[order], -1),
+                     slot_valid=slot_valid, count=count)
+    return BlockedCompacted(comp=comp, block_count=comp_b.count)
+
+
 def gather_rows(table: jnp.ndarray, comp: Compacted) -> jnp.ndarray:
     """Gather payload rows (flat-first-dim `table`) for compacted elements;
     padding slots fetch row 0 (callers mask with comp.slot_valid)."""

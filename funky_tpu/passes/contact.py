@@ -469,7 +469,8 @@ def contact_occupancy(world: jnp.ndarray, normal: jnp.ndarray,
         ok = cs[..., 2] <= (_probe_bound(pyr, q, size)
                             + _point_min_l0(pyr, q) - pyr.eps)
         cert2 = cert2 & (~inb | ok)
-    return {"contact_stage2": jnp.sum(stage2),
+    return {"_stage2": stage2,  # raw mask (block-occupancy diagnostics)
+            "contact_stage2": jnp.sum(stage2),
             "contact_march": jnp.sum(stage2 & ~cert2)}
 
 
@@ -478,7 +479,8 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
                                   prev_depth: jnp.ndarray, y0=0,
                                   capacity: int | None = None,
                                   march_capacity: int | None = None,
-                                  valid: jnp.ndarray | None = None
+                                  valid: jnp.ndarray | None = None,
+                                  block_capacity: int | None = None
                                   ) -> jnp.ndarray:
     """Sparse-exact contact shadows: identical outputs to
     compute_contact_shadow where `valid` (geometry coverage — sky pixels'
@@ -487,8 +489,9 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
     exact-march set (default capacity // 4); overflow at either falls back
     to the dense march (exact, slower). Size both from
     utils.diagnostics.measure_sparse_occupancy."""
-    from ..ops.compact import Compacted, compact_indices, gather_rows, \
-        scatter_back
+    from ..ops.compact import (Compacted, compact_indices,
+                               compact_indices_blocked, gather_rows,
+                               scatter_back)
 
     h, w = world.shape[:2]
     hd, wd = prev_depth.shape
@@ -516,7 +519,17 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
     stage2 = contact_classify(pyr, march_start, march_dir, jitter, cand,
                               prev_depth.shape)
 
-    comp2 = compact_indices(stage2, cap2)
+    # Stage-2 pixels cluster around real occluders: two-level compaction
+    # (block-grid argsort) where the shape allows.
+    fits_blocks = jnp.ones((), bool)
+    bcap = block_capacity if block_capacity is not None \
+        else max(cap2 // 16, 256)
+    if h % 8 == 0 and w % 8 == 0:
+        blocked = compact_indices_blocked(stage2, cap2, 8, 8, bcap)
+        comp2 = blocked.comp
+        fits_blocks = blocked.block_count <= bcap
+    else:
+        comp2 = compact_indices(stage2, cap2)
     payload = jnp.concatenate(
         [march_start, march_dir, jitter[..., None]], axis=-1).reshape(n, 7)
     rows2 = gather_rows(payload, comp2)
@@ -547,7 +560,7 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
         slot_valid=comp3_local.slot_valid,
         count=comp3_local.count)
 
-    fits = (comp2.count <= cap2) & (comp3.count <= cap3)
+    fits = (comp2.count <= cap2) & (comp3.count <= cap3) & fits_blocks
 
     def eval_sparse(_):
         dense = jnp.ones((n,), jnp.float32)

@@ -326,7 +326,8 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                            screen_pos: jnp.ndarray, use_pcss: bool,
                            valid: jnp.ndarray | None = None,
                            capacity: int | None = None,
-                           cascade_caps: tuple | None = None):
+                           cascade_caps: tuple | None = None,
+                           block_capacity: int | None = None):
     """Sparse-exact main shadow evaluation: identical outputs to
     `cascaded_shadow` (bit-exact while the compaction capacity holds; on
     overflow the excess penumbra pixels degrade to fully lit).
@@ -343,7 +344,8 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         ~40% faster than the fused 16M-row one (PERF.md). None = each
         cascade sized at `capacity` (correct, more padded slots).
     """
-    from ..ops.compact import (Compacted, compact_indices, gather_rows,
+    from ..ops.compact import (Compacted, compact_indices,
+                               compact_indices_blocked, gather_rows,
                                scatter_back)
 
     c0, c1, t = select_cascade_blend(view_depth, uni.cascade_splits)
@@ -359,8 +361,45 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
 
     uv0, r0, inb0, lit0, um0 = _classified_project(
         uni, cmaps, c0, world, normal, n_dot_l, softness, use_pcss)
-    uv1, r1, inb1, lit1, um1 = _classified_project(
-        uni, cmaps, c1, world, normal, n_dot_l, softness, use_pcss)
+
+    # c1's classes are only CONSUMED inside the blend band (needs1 has
+    # `& blend`; the pair-closure `where(blend, ...)` ignores them
+    # elsewhere), and bands cover a few % of the screen — so c1's cell
+    # gather runs block-sparsely over band blocks (projection itself is
+    # dense math and stays dense: uv1/r1 feed the tap payload).
+    from .shadow_classify import classify as _classify
+
+    uv1, recv1, bias1, inb1 = _light_project(uni, c1, world, normal,
+                                             n_dot_l)
+    r1 = recv1 - bias1                                   # gltf.frag:410
+    band_mask = blend & valid
+
+    def classify_c1_dense(_):
+        return _classify(cmaps, c1, uv1, r1, softness, use_pcss)
+
+    if h % 8 == 0 and w % 8 == 0:
+        from ..ops.compact import compact_blocks
+
+        band_bcap = max((h // 8) * (w // 8) // 8, 128)
+        comp_band = compact_blocks(band_mask, 8, 8, band_bcap)
+
+        def classify_c1_blocks(_):
+            uv_e = gather_rows(uv1.reshape(n, 2), comp_band)
+            r_e = gather_rows(r1.reshape(n), comp_band)
+            c_e = gather_rows(c1.reshape(n), comp_band)
+            lit_e, um_e = _classify(cmaps, c_e, uv_e, r_e, softness,
+                                    use_pcss)
+            lit = scatter_back(jnp.zeros((n,), bool), comp_band,
+                               lit_e & comp_band.slot_valid)
+            um = scatter_back(jnp.zeros((n,), bool), comp_band,
+                              um_e & comp_band.slot_valid)
+            return lit.reshape(h, w), um.reshape(h, w)
+
+        lit1, um1 = jax.lax.cond(comp_band.count <= band_bcap,
+                                 classify_c1_blocks, classify_c1_dense,
+                                 operand=None)
+    else:
+        lit1, um1 = classify_c1_dense(None)
 
     if use_pcss:
         # A PCSS closed form fixes m1/m2 but NOT the kernel radius (a lit
@@ -399,14 +438,26 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     pair_layer = jnp.stack([c0, c1])                  # (2, h, w) int32
     # Group the compacted pairs by cascade: each cascade's segment then
     # taps its OWN (S, S, 4) table (see cascade_caps in the docstring).
-    comp = compact_indices(needs, cap, group_key=pair_layer)
+    # Penumbra pairs cluster along shadow edges, so the compaction runs
+    # two-level where the shape allows (block grid argsort instead of the
+    # ~8 ms full-domain one).
+    fits_blocks = jnp.ones((), bool)
+    bcap = block_capacity if block_capacity is not None \
+        else max(cap // 16, 256)
+    if h % 8 == 0 and w % 8 == 0:
+        blocked = compact_indices_blocked(
+            needs, cap, 8, 8, bcap, group_key=pair_layer)
+        comp = blocked.comp
+        fits_blocks = blocked.block_count <= bcap
+    else:
+        comp = compact_indices(needs, cap, group_key=pair_layer)
     counts_c = jnp.stack([
         jnp.sum(needs & (pair_layer == c), dtype=jnp.int32)
         for c in range(n_casc)])
     offs = jnp.cumsum(counts_c) - counts_c
     caps_c = tuple(cascade_caps) if cascade_caps is not None \
         else (cap,) * n_casc
-    fits = (comp.count <= cap) & jnp.all(
+    fits = (comp.count <= cap) & fits_blocks & jnp.all(
         counts_c <= jnp.asarray(caps_c, jnp.int32))
 
     def eval_sparse(_):
@@ -502,6 +553,7 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
     needs = jnp.stack([needs0, needs1])
     pair_layer = jnp.stack([c0, c1])
     return {
+        "_needs": needs,   # raw mask (private: block-occupancy diagnostics)
         "pairs": jnp.sum(needs0) + jnp.sum(needs1),
         "pairs_per_cascade": jnp.stack(
             [jnp.sum(needs & (pair_layer == c)) for c in range(4)]),

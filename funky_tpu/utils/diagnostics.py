@@ -70,6 +70,15 @@ def sparse_occupancy(scene, params, state, cfg):
         sub(g.world), sub(normal), uni, state.prev_depth,
         valid=sub(g.valid)))
 
+    # 8x8 candidate-block counts for the two-level compactions
+    def blocks_of(mask):
+        *lead, hh, ww = mask.shape
+        return jnp.sum(mask[..., :hh // 8 * 8, :ww // 8 * 8].reshape(
+            *lead, hh // 8, 8, ww // 8, 8).any(axis=(-3, -1)))
+
+    stats["pair_blocks"] = blocks_of(stats.pop("_needs"))
+    stats["contact_blocks"] = blocks_of(stats.pop("_stage2"))
+
     # Cascade blend-band size (would c1-classification be skippable?) and
     # per-screen-tile shadow-cell spans (viability of tile-local one-hot
     # cell selection instead of per-pixel gathers).

@@ -279,3 +279,34 @@ def test_sparse_softness_above_budget_still_exact(duck_setup):
     # flat-batch taps fuse differently than the (H, W) dense path: allow
     # fp-reorder noise (observed 2 px at ~3e-6 relative)
     np.testing.assert_allclose(img_s, img_d, atol=2e-5)
+
+
+def test_blocked_compaction_same_set():
+    """compact_indices_blocked selects exactly the same element set as
+    compact_indices (order may differ), keeps group contiguity, and
+    reports true counts."""
+    from funky_tpu.ops.compact import compact_indices_blocked
+
+    rng = np.random.default_rng(11)
+    mask = np.zeros((2, 32, 64), bool)
+    # clustered blobs + a few isolated pixels
+    mask[0, 4:9, 10:20] = True
+    mask[1, 20:25, 40:55] = rng.random((5, 15)) > 0.4
+    mask[0, 31, 63] = True
+    gk = rng.integers(0, 4, mask.shape).astype(np.int32)
+    mask_j, gk_j = jnp.asarray(mask), jnp.asarray(gk)
+
+    plain = compact_indices(mask_j, 4096, group_key=gk_j)
+    blocked = compact_indices_blocked(mask_j, 4096, 8, 8, 64,
+                                      group_key=gk_j)
+    comp = blocked.comp
+    assert int(comp.count) == int(plain.count) == mask.sum()
+    got = np.sort(np.asarray(comp.idx)[np.asarray(comp.slot_valid)])
+    want = np.sort(np.asarray(plain.idx)[np.asarray(plain.slot_valid)])
+    np.testing.assert_array_equal(got, want)
+    # group-contiguous: keys of selected entries are non-decreasing
+    keys = gk.ravel()[np.asarray(comp.idx)[np.asarray(comp.slot_valid)]]
+    assert (np.diff(keys) >= 0).all()
+    # block-overflow detection
+    tiny = compact_indices_blocked(mask_j, 4096, 8, 8, 2)
+    assert int(tiny.block_count) > 2
