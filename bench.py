@@ -182,21 +182,34 @@ def main():
         fps_half = chained(compiled_gltf_frame(half), init_frame_state(half))
         print(f"# half-res shadows: {fps_half:.2f} fps", file=sys.stderr)
 
-        from funky_tpu.models.sdf import (SdfConfig, compiled_sdf_frame,
-                                          default_sdf_camera)
+        import jax
+        import jax.numpy as jnp
+
+        from funky_tpu.models.sdf import (SdfConfig, default_sdf_camera,
+                                          render_sdf_frame)
 
         scfg = SdfConfig(width=960, height=540)
-        sdf_frame = compiled_sdf_frame(scfg)
         pos, yaw, pitch, fov = default_sdf_camera()
-        # pre-staged params, async dispatch, one drain (NO eager ops in
-        # the loop — each costs ~100 ms of remote dispatch, CLAUDE.md)
-        ts = [1.0 + i * 0.02 for i in range(20)]
-        img = sdf_frame(ts[0], pos, yaw, pitch, fov)
-        float(np.asarray(img.ravel()[0]))
+
+        # Chained-and-drained inside ONE jit (CLAUDE.md protocol): each
+        # frame's time depends on the previous frame's output, so the
+        # final fetch proves all 20 executed.
+        @jax.jit
+        def sdf_chain(t0v):
+            def body(carry, i):
+                img = render_sdf_frame(carry + i * 0.02, pos, yaw, pitch,
+                                       fov, scfg)
+                return carry + (img[0, 0, 0] * 1e-30).astype(jnp.float32), \
+                    None
+            out, _ = jax.lax.scan(body, t0v,
+                                  jnp.arange(20, dtype=jnp.float32))
+            return out
+
+        d = sdf_chain(jnp.float32(1.0))
+        float(np.asarray(d))
         t0 = time.perf_counter()
-        for t in ts:
-            img = sdf_frame(t, pos, yaw, pitch, fov)
-        float(np.asarray(img.ravel()[0]))
+        d = sdf_chain(jnp.float32(1.0))
+        float(np.asarray(d))
         print(f"# sdf 960x540: {20 / (time.perf_counter() - t0):.1f} fps",
               file=sys.stderr)
 

@@ -44,8 +44,12 @@ class FrameDriver:
     def __init__(self, cfg: GltfConfig,
                  scene_path: Optional[str | Path] = None,
                  device_scene: Optional[DeviceScene] = None,
-                 enable_ui: bool = True) -> None:
+                 enable_ui: bool = True,
+                 sanitize: bool = False) -> None:
+        # sanitize: per-frame NaN/Inf guard over outputs (utils/sanitize;
+        # the validation-layer analogue — costs a host sync, debug only)
         self.cfg = cfg
+        self.sanitize = sanitize
         self.world = ecs.World()
         self.world.insert_resource(ecs.FrameTiming())
         self.world.insert_resource(ecs.PerformanceStats())
@@ -136,6 +140,11 @@ class FrameDriver:
                 raise
             self.state = init_frame_state(self.cfg)
             return self._last_image
+        if self.sanitize:
+            from ..utils.sanitize import assert_finite
+
+            assert_finite({"image": image, "state": self.state._asdict()},
+                          label=f"frame {self.frame_count}")
         self.consecutive_failures = 0
         self.last_error = ""
         self._last_image = image

@@ -119,12 +119,12 @@ def _read_uri(uri: str, base_dir: Path) -> bytes:
 
 def _read_view_data(doc: dict, buffers: List[bytes], view_idx: int,
                     byte_offset: int, count: int, n_comp: int,
-                    dtype, stride_override=None) -> np.ndarray:
+                    dtype) -> np.ndarray:
     view = doc["bufferViews"][view_idx]
     buf = buffers[view["buffer"]]
     offset = view.get("byteOffset", 0) + byte_offset
     itemsize = np.dtype(dtype).itemsize
-    stride = stride_override or view.get("byteStride") or n_comp * itemsize
+    stride = view.get("byteStride") or n_comp * itemsize
     if stride == n_comp * itemsize:
         return np.frombuffer(buf, dtype, count * n_comp,
                              offset).reshape(count, n_comp)

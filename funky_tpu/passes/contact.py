@@ -421,6 +421,27 @@ def _certify_probes(pyr: ResidualPyramid, march_start, march_dir, jitter,
     return cert
 
 
+def _stage2_certify(pyr: ResidualPyramid, start, direction, jitter,
+                    size) -> jnp.ndarray:
+    """Per-probe level-0 box re-certification (stage 2) on any batch
+    shape — all 8 probes' box rows ride ONE batched gather (per-op
+    overhead dominates small sequential gathers), the rest is dense
+    arithmetic. Shared by the sparse path and contact_occupancy so
+    capacity sizing can't drift from the real stage-3 mask."""
+    steps = jnp.arange(LINEAR_STEPS, dtype=jnp.float32).reshape(
+        (LINEAR_STEPS,) + (1,) * jitter.ndim)
+    t_all = (steps + jitter[None]) / LINEAR_STEPS
+    cs = start[None] + direction[None] * t_all[..., None]
+    uv = cs[..., :2] * 0.5 + 0.5
+    inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
+           & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
+    q = uv * size
+    min_r = _point_min_l0(pyr, q)
+    bound = _probe_bound(pyr, q, size)
+    ok = cs[..., 2] <= bound + min_r - pyr.eps
+    return jnp.all(~inb | ok, axis=0)
+
+
 def contact_classify(pyr: ResidualPyramid, march_start, march_dir, jitter,
                      cand, depth_shape):
     """Stage-1 dense certification: whole-ray box min-R (one pyramid row
@@ -457,18 +478,7 @@ def contact_occupancy(world: jnp.ndarray, normal: jnp.ndarray,
         cand = cand & valid
     stage2 = contact_classify(pyr, march_start, march_dir, jitter, cand,
                               prev_depth.shape)
-
-    cert2 = jnp.ones(jitter.shape, bool)
-    for step in range(LINEAR_STEPS):
-        t = (step + jitter) / LINEAR_STEPS
-        cs = march_start + march_dir * t[..., None]
-        uv = cs[..., :2] * 0.5 + 0.5
-        inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
-               & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
-        q = uv * size
-        ok = cs[..., 2] <= (_probe_bound(pyr, q, size)
-                            + _point_min_l0(pyr, q) - pyr.eps)
-        cert2 = cert2 & (~inb | ok)
+    cert2 = _stage2_certify(pyr, march_start, march_dir, jitter, size)
     return {"_stage2": stage2,  # raw mask (block-occupancy diagnostics)
             "contact_stage2": jnp.sum(stage2),
             "contact_march": jnp.sum(stage2 & ~cert2)}
@@ -535,20 +545,10 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
     rows2 = gather_rows(payload, comp2)
     start2, dir2, jit2 = rows2[:, 0:3], rows2[:, 3:6], rows2[:, 6]
 
-    # Stage 2: re-certify with tight per-probe level-0 boxes — all 8
-    # probes' box rows ride ONE batched gather (per-op overhead dominates
-    # small sequential gathers), the rest is dense arithmetic.
-    steps = jnp.arange(LINEAR_STEPS, dtype=jnp.float32)[:, None]
-    t_all = (steps + jit2[None]) / LINEAR_STEPS           # (8, cap2)
-    cs = start2[None] + dir2[None] * t_all[..., None]
-    uv = cs[..., :2] * 0.5 + 0.5
-    inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
-           & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
-    q = uv * size
-    min_r = _point_min_l0(pyr, q)
-    bound = _probe_bound(pyr, q, size)
-    ok = cs[..., 2] <= bound + min_r - pyr.eps
-    cert2 = jnp.all(~inb | ok, axis=0)
+    # Stage 2: re-certify with tight per-probe level-0 boxes (shared
+    # helper; retires the shell created by stage 1's whole-ray box
+    # dilation around real occluders).
+    cert2 = _stage2_certify(pyr, start2, dir2, jit2, size)
 
     # Stage 3: exact march on the survivors (compacted within comp2's
     # slot domain, then composed back to global flat indices).

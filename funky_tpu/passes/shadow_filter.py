@@ -320,44 +320,21 @@ def _classified_project(uni: FrameUniforms, cmaps, cascade, world, normal,
     return uv, receiver, inb, lit, umbra
 
 
-def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
-                           cmaps, world: jnp.ndarray, normal: jnp.ndarray,
-                           n_dot_l: jnp.ndarray, view_depth: jnp.ndarray,
-                           screen_pos: jnp.ndarray, use_pcss: bool,
-                           valid: jnp.ndarray | None = None,
-                           capacity: int | None = None,
-                           cascade_caps: tuple | None = None,
-                           block_capacity: int | None = None):
-    """Sparse-exact main shadow evaluation: identical outputs to
-    `cascaded_shadow` (bit-exact while the compaction capacity holds; on
-    overflow the excess penumbra pixels degrade to fully lit).
+def _pair_classification(uni: FrameUniforms, cmaps, c0, c1, blend, world,
+                         normal, n_dot_l, softness, use_pcss: bool,
+                         valid):
+    """Project + classify both cascades and derive the exact-evaluation
+    pair masks — shared by cascaded_shadow_sparse and classify_stats so
+    the capacity-sizing diagnostic can never drift from the mask the
+    sparse path actually compacts.
 
-    Args:
-      cmaps: ShadowClassMaps built from the raw cascade depths.
-      valid: (H, W) bool — pixels actually covered by geometry (sky pixels
-        never consume tap budget; their shadow value is unused).
-      capacity: static max penumbra (pixel, cascade) pairs; default
-        H*W // 16. Overflow falls back to the dense evaluation (exact).
-      cascade_caps: static per-cascade pair capacities (4-tuple). The
-        compaction groups pairs by cascade so each cascade's taps gather
-        from its OWN (S, S, 4) table — a 4M-row 16 B-row table gathers
-        ~40% faster than the fused 16M-row one (PERF.md). None = each
-        cascade sized at `capacity` (correct, more padded slots).
-    """
-    from ..ops.compact import (Compacted, compact_indices,
-                               compact_indices_blocked, gather_rows,
-                               scatter_back)
+    Returns (uv0, r0, inb0, lit0, um0, uv1, r1, inb1, lit1, um1,
+    needs0, needs1)."""
+    from ..ops.compact import gather_rows, scatter_back
+    from .shadow_classify import classify as _classify
 
-    c0, c1, t = select_cascade_blend(view_depth, uni.cascade_splits)
-    phi = shadow_frame_phi(screen_pos, uni.debug_flags[3], uni.debug_flags[2])
-    softness = uni.shadow_bias[0]
-
-    h, w = c0.shape
+    h, w = blend.shape
     n = h * w
-    cap = capacity if capacity is not None else max(n // 16, 256)
-    if valid is None:
-        valid = jnp.ones((h, w), bool)
-    blend = t > 0.0
 
     uv0, r0, inb0, lit0, um0 = _classified_project(
         uni, cmaps, c0, world, normal, n_dot_l, softness, use_pcss)
@@ -367,8 +344,6 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     # elsewhere), and bands cover a few % of the screen — so c1's cell
     # gather runs block-sparsely over band blocks (projection itself is
     # dense math and stays dense: uv1/r1 feed the tap payload).
-    from .shadow_classify import classify as _classify
-
     uv1, recv1, bias1, inb1 = _light_project(uni, c1, world, normal,
                                              n_dot_l)
     r1 = recv1 - bias1                                   # gltf.frag:410
@@ -409,10 +384,15 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         # closed class is output-exact; inside, the PAIR must be closed
         # the same way ((lit,lit) => 1, (umbra,umbra) => 0), else both
         # cascades evaluate exactly. Out-of-bounds acts as lit with a
-        # known radius 0 (gltf.frag:402-403).
+        # known radius 0 (gltf.frag:402-403) — which is why the umbra
+        # pair additionally requires BOTH cascades in bounds: with one
+        # side out of bounds the dense pair mixes (0, 1) with nonzero
+        # variance, and the in-bounds side's exact kernel radius feeds
+        # the TAA clamp, so it must really be evaluated.
         lit0e = lit0 | ~inb0
         lit1e = lit1 | ~inb1
-        closed = jnp.where(blend, (lit0e & lit1e) | (um0 & um1),
+        closed = jnp.where(blend,
+                           (lit0e & lit1e) | (um0 & um1 & inb0 & inb1),
                            lit0e | um0)
         needs0 = valid & inb0 & ~closed
         needs1 = valid & inb1 & blend & ~closed
@@ -421,6 +401,54 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         # independently closed per cascade.
         needs0 = valid & inb0 & ~lit0 & ~um0
         needs1 = valid & inb1 & blend & ~lit1 & ~um1
+    return (uv0, r0, inb0, lit0, um0, uv1, r1, inb1, lit1, um1, needs0,
+            needs1)
+
+
+def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
+                           cmaps, world: jnp.ndarray, normal: jnp.ndarray,
+                           n_dot_l: jnp.ndarray, view_depth: jnp.ndarray,
+                           screen_pos: jnp.ndarray, use_pcss: bool,
+                           valid: jnp.ndarray | None = None,
+                           capacity: int | None = None,
+                           cascade_caps: tuple | None = None,
+                           block_capacity: int | None = None):
+    """Sparse-exact main shadow evaluation: identical outputs to
+    `cascaded_shadow` — bit-exact while the compaction capacities hold,
+    and on overflow lax.cond falls back to the full dense evaluation
+    (still exact, just a slow frame).
+
+    Args:
+      cmaps: ShadowClassMaps built from the raw cascade depths.
+      valid: (H, W) bool — pixels actually covered by geometry (sky pixels
+        never consume tap budget; their shadow value is unused).
+      capacity: static max penumbra (pixel, cascade) pairs; default
+        H*W // 16. Overflow falls back to the dense evaluation (exact).
+      cascade_caps: static per-cascade pair capacities (4-tuple). The
+        compaction groups pairs by cascade so each cascade's taps gather
+        from its OWN (S, S, 4) table — a 4M-row 16 B-row table gathers
+        ~40% faster than the fused 16M-row one (PERF.md). None = each
+        cascade sized at `capacity` (correct, more padded slots).
+    """
+    from ..ops.compact import (Compacted, compact_indices,
+                               compact_indices_blocked, gather_rows,
+                               scatter_back)
+
+    c0, c1, t = select_cascade_blend(view_depth, uni.cascade_splits)
+    phi = shadow_frame_phi(screen_pos, uni.debug_flags[3], uni.debug_flags[2])
+    softness = uni.shadow_bias[0]
+
+    h, w = c0.shape
+    n = h * w
+    cap = capacity if capacity is not None else max(n // 16, 256)
+    if valid is None:
+        valid = jnp.ones((h, w), bool)
+    blend = t > 0.0
+
+    (uv0, r0, inb0, lit0, um0, uv1, r1, inb1, lit1, um1, needs0,
+     needs1) = _pair_classification(uni, cmaps, c0, c1, blend, world,
+                                    normal, n_dot_l, softness, use_pcss,
+                                    valid)
 
     # Dense closed-form results; penumbra placeholders are overwritten by
     # the scatter.
@@ -536,20 +564,10 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
     if valid is None:
         valid = jnp.ones(c0.shape, bool)
     blend = t > 0.0
-    _, _, inb0, lit0, um0 = _classified_project(
-        uni, cmaps, c0, world, normal, n_dot_l, softness, use_pcss)
-    _, _, inb1, lit1, um1 = _classified_project(
-        uni, cmaps, c1, world, normal, n_dot_l, softness, use_pcss)
-    if use_pcss:
-        lit0e = lit0 | ~inb0
-        lit1e = lit1 | ~inb1
-        closed = jnp.where(blend, (lit0e & lit1e) | (um0 & um1),
-                           lit0e | um0)
-        needs0 = valid & inb0 & ~closed
-        needs1 = valid & inb1 & blend & ~closed
-    else:
-        needs0 = valid & inb0 & ~lit0 & ~um0
-        needs1 = valid & inb1 & blend & ~lit1 & ~um1
+    (_, _, _, lit0, um0, _, _, _, _, _, needs0,
+     needs1) = _pair_classification(uni, cmaps, c0, c1, blend, world,
+                                    normal, n_dot_l, softness, use_pcss,
+                                    valid)
     needs = jnp.stack([needs0, needs1])
     pair_layer = jnp.stack([c0, c1])
     return {

@@ -30,17 +30,26 @@ def _frame_intermediates(scene, params, state, cfg):
         uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
     cmaps = build_class_maps(raw, cfg.class_coarse, cfg.max_softness,
                              light_ground_planes(uni.light_view_proj))
+    tri_clip_raw = clip[scene.tri_indices]
     tri_clip, blocks, tri_flags, tri_valid = _main_raster_inputs(
         scene, clip, blocks, cfg.clip_capacity)
     tri_id, depth, setup = raster_corners(
         tri_clip, tri_valid, cfg.width, cfg.height, cfg.raster)
     g = deferred.interpolate(tri_id, depth, setup.data, blocks,
                              tri_flags)
+    # near-plane clip pressure: crossing triangles this view must fit
+    # GltfConfig.clip_capacity (overflow whole-culls the excess — the
+    # round-1 popping artifact)
+    from ..frame import NEAR
+    inside = tri_clip_raw[..., 3] > NEAR * 0.1
+    real = jnp.arange(tri_clip_raw.shape[0]) < scene.num_triangles
+    clip_crossing = jnp.sum(jnp.any(inside, -1) & ~jnp.all(inside, -1)
+                            & real)
     normal = g.normal / jnp.maximum(
         jnp.linalg.norm(g.normal, axis=-1, keepdims=True), 1e-12)
     n_dot_l = jnp.maximum(jnp.sum(normal * uni.light_dir, axis=-1), 0.0)
     view_depth = -((g.world @ uni.view[2, :3].T) + uni.view[2, 3])
-    return uni, cmaps, g, normal, n_dot_l, view_depth
+    return uni, cmaps, g, normal, n_dot_l, view_depth, clip_crossing
 
 
 def sparse_occupancy(scene, params, state, cfg):
@@ -52,8 +61,8 @@ def sparse_occupancy(scene, params, state, cfg):
     from ..passes import contact, shadow_filter
 
     scale = cfg.flags.effective_shadow_scale
-    uni, cmaps, g, normal, n_dot_l, view_depth = _frame_intermediates(
-        scene, params, state, cfg)
+    (uni, cmaps, g, normal, n_dot_l, view_depth,
+     clip_crossing) = _frame_intermediates(scene, params, state, cfg)
     h, w = g.depth.shape
     frag = jnp.stack([
         jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5,
@@ -85,6 +94,7 @@ def sparse_occupancy(scene, params, state, cfg):
     c0, c1, t = shadow_filter.select_cascade_blend(sub(view_depth),
                                                    uni.cascade_splits)
     stats["blend_band"] = jnp.sum(sub(g.valid) & (t > 0.0))
+    stats["clip_crossing"] = clip_crossing
 
     # 8x8 screen blocks containing textured pixels (block-sparse texture
     # sampling capacity, passes/shading.py)
