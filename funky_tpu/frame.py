@@ -204,7 +204,9 @@ class GltfConfig:
     shadow_pen_cascade_caps: tuple | None = None
     # two-level compaction block budgets (8x8 candidate blocks); tune
     # from measured block occupancy (diagnostics) — the candidate-domain
-    # size drives the second sort + mask gathers. None = capacity // 16.
+    # size drives the second sort + mask gathers. None = plain
+    # single-level compaction (an untuned block budget would only add
+    # overhead).
     shadow_pen_block_capacity: int | None = None
     contact_block_capacity: int | None = None
     # classification budget: frames with softness > max_softness fall back

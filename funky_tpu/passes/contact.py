@@ -530,14 +530,15 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
                               prev_depth.shape)
 
     # Stage-2 pixels cluster around real occluders: two-level compaction
-    # (block-grid argsort) where the shape allows.
+    # (block-grid argsort), but only with a TUNED block budget — the
+    # untuned default would make the candidate domain ~the full domain
+    # and just add overhead.
     fits_blocks = jnp.ones((), bool)
-    bcap = block_capacity if block_capacity is not None \
-        else max(cap2 // 16, 256)
-    if h % 8 == 0 and w % 8 == 0:
-        blocked = compact_indices_blocked(stage2, cap2, 8, 8, bcap)
+    if (block_capacity is not None and h % 8 == 0 and w % 8 == 0):
+        blocked = compact_indices_blocked(stage2, cap2, 8, 8,
+                                          block_capacity)
         comp2 = blocked.comp
-        fits_blocks = blocked.block_count <= bcap
+        fits_blocks = blocked.block_count <= block_capacity
     else:
         comp2 = compact_indices(stage2, cap2)
     payload = jnp.concatenate(

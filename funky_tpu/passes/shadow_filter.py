@@ -469,14 +469,15 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     # Penumbra pairs cluster along shadow edges, so the compaction runs
     # two-level where the shape allows (block grid argsort instead of the
     # ~8 ms full-domain one).
+    # Two-level compaction only with a TUNED block budget: the default
+    # would make the candidate domain ~the full domain and just add
+    # overhead (measured: worse than the plain argsort).
     fits_blocks = jnp.ones((), bool)
-    bcap = block_capacity if block_capacity is not None \
-        else max(cap // 16, 256)
-    if h % 8 == 0 and w % 8 == 0:
+    if (block_capacity is not None and h % 8 == 0 and w % 8 == 0):
         blocked = compact_indices_blocked(
-            needs, cap, 8, 8, bcap, group_key=pair_layer)
+            needs, cap, 8, 8, block_capacity, group_key=pair_layer)
         comp = blocked.comp
-        fits_blocks = blocked.block_count <= bcap
+        fits_blocks = blocked.block_count <= block_capacity
     else:
         comp = compact_indices(needs, cap, group_key=pair_layer)
     counts_c = jnp.stack([
