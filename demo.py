@@ -25,12 +25,34 @@ def main():
                     help="resolution scale (1.0 = full)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--interactive", action="store_true",
+                    help="interactive terminal viewer (WASD/arrows camera,"
+                         " ESC exit, 3=UI, f=fullscreen, n=minimize,"
+                         " TAB=panel focus)")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu or jax.default_backend() == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    if args.interactive:
+        from funky_tpu.app.driver import FrameDriver
+        from funky_tpu.app.viewer import TerminalViewer
+        from funky_tpu.frame import GltfConfig
+        from funky_tpu.ops.raster import RasterConfig
+
+        s = args.scale if args.scale != 1.0 else 0.25
+        w = int(1920 * s) // 128 * 128 or 256
+        h = int(1088 * s) // 64 * 64 or 128
+        tile = RasterConfig(tile_h=16, tile_w=128, capacity=4480)
+        cfg = GltfConfig(width=w, height=h, shadow_map_size=512,
+                         raster=tile, shadow_raster=tile)
+        drv = FrameDriver(cfg,
+                          scene_path="/root/reference/models/scene.gltf")
+        print("\x1b[2J", end="")
+        TerminalViewer(drv, cols=100).run()
+        return
 
     from funky_tpu.app.driver import FrameDriver
     from funky_tpu.frame import (FrameConfig, GltfConfig,
