@@ -310,3 +310,61 @@ def test_blocked_compaction_same_set():
     # block-overflow detection
     tiny = compact_indices_blocked(mask_j, 4096, 8, 8, 2)
     assert int(tiny.block_count) > 2
+
+
+def test_light_ground_planes_reproduce_ortho_depth():
+    """The fitted uv-space plane reproduces the true NDC depth of y=0
+    points under an ortho light matrix (the anchor-bound reference)."""
+    from funky_tpu.passes.shadow_classify import light_ground_planes
+    from funky_tpu.passes.uniforms import compute_uniforms
+
+    uni = compute_uniforms(
+        camera_pos=jnp.asarray([0.0, 2.5, 10.0]),
+        camera_yaw=jnp.asarray(-1.5), camera_pitch=jnp.asarray(-0.2),
+        camera_fov=jnp.asarray(0.785), aspect_ratio=16 / 9,
+        duck_position=jnp.zeros(3), duck_scale=jnp.asarray(0.01),
+        prev_view_proj=jnp.eye(4), has_prev=jnp.zeros((), bool),
+        frame_index=jnp.zeros((), jnp.int32), debug_cascades=False,
+        use_pcss=True, use_shadow_taa=True,
+        shadow_softness=jnp.asarray(2.5), shadow_map_size=512)
+    planes = np.asarray(light_ground_planes(uni.light_view_proj))
+
+    rng = np.random.default_rng(3)
+    pts = np.stack([rng.uniform(-5, 5, 32), np.zeros(32),
+                    rng.uniform(-5, 5, 32)], -1).astype(np.float32)
+    hom = np.concatenate([pts, np.ones((32, 1), np.float32)], -1)
+    for c in range(4):
+        clip = hom @ np.asarray(uni.light_view_proj[c]).T
+        ndc = clip[:, :3] / clip[:, 3:4]
+        uv = ndc[:, :2] * 0.5 + 0.5
+        pred = planes[c, 0] * uv[:, 0] + planes[c, 1] * uv[:, 1] \
+            + planes[c, 2]
+        np.testing.assert_allclose(pred, ndc[:, 2], atol=2e-5)
+
+
+def test_contact_fit_ground_plane_reproduces_depth():
+    """contact.fit_ground_plane: screen-space plane matches projected
+    y=0 points (the residual-certificate reference surface)."""
+    from funky_tpu import math3d as m3
+    from funky_tpu.passes.contact import fit_ground_plane
+
+    view = m3.look_at_rh(jnp.asarray([0.0, 2.5, 10.0]),
+                         jnp.asarray([0.0, 0.6, 0.0]),
+                         jnp.asarray([0.0, 1.0, 0.0]))
+    proj = m3.perspective_vk(jnp.float32(0.785), 16 / 9, 0.1, 100.0)
+    vp = proj @ view
+    w, h = 640, 360
+    plane = np.asarray(fit_ground_plane(vp, w, h,
+                                        jnp.asarray([0.0, 2.5, 10.0])))
+
+    rng = np.random.default_rng(5)
+    pts = np.stack([rng.uniform(-3, 3, 32), np.zeros(32),
+                    rng.uniform(-6, 4, 32)], -1).astype(np.float32)
+    hom = np.concatenate([pts, np.ones((32, 1), np.float32)], -1)
+    clip = hom @ np.asarray(vp).T
+    keep = clip[:, 3] > 0.5               # well in front of the camera
+    ndc = clip[keep, :3] / clip[keep, 3:4]
+    px = (ndc[:, 0] + 1) * 0.5 * w
+    py = (ndc[:, 1] + 1) * 0.5 * h
+    pred = plane[0] * px + plane[1] * py + plane[2]
+    np.testing.assert_allclose(pred, ndc[:, 2], atol=5e-5)
