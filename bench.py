@@ -2,7 +2,12 @@
 """Benchmark: the flagship glTF Duck + 4-cascade-shadow frame at 1080p.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N,
+   "median_of": R, "min": ..., "max": ...}
+
+`value` is the MEDIAN of R independent timing runs (each a chained batch
+of frames) so a regression is distinguishable from tunnel noise (cube
+FPS historically swings 300-590 run-to-run).
 
 Baseline: the reference claims 60+ FPS for the glTF scene with GPU sync on
 its laptop GPU (README.md:12; BASELINE.md) — vs_baseline = fps / 60.
@@ -14,6 +19,7 @@ acknowledge at enqueue, so only a data read proves completion).
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -38,6 +44,22 @@ def find_scene():
     return None
 
 
+def timed_runs(frame_fn, make_state, scene, params, n_frames, repeats):
+    """Median-of-N chained-and-drained timing: each run chains `n_frames`
+    through the carried state and fetches once. Returns list of FPS."""
+    state = make_state()
+    rgba, state = frame_fn(scene, params, state)   # warm / compile
+    float(np.asarray(rgba.ravel()[0]))
+    fps = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            rgba, state = frame_fn(scene, params, state)
+        float(np.asarray(rgba.ravel()[0]))
+        fps.append(n_frames / (time.perf_counter() - t0))
+    return fps
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/funky_tpu_jax_tpu"))
@@ -46,6 +68,7 @@ def main():
     from funky_tpu.frame import (GltfConfig, compiled_gltf_frame,
                                  default_gltf_params, init_frame_state)
     from funky_tpu.models.scene import build_device_scene
+    from funky_tpu.utils.autotune import autotune_config
 
     gltf = find_scene()
     scene = build_device_scene(gltf)
@@ -54,109 +77,15 @@ def main():
     cfg = GltfConfig()  # 1920x1080, 4x2048^2 cascades, PCSS+TAA+contact
     params = default_gltf_params(gltf_min_y=gltf_min_y)
 
-    # Tune bin capacities for THIS scene+view with measured headroom
-    # (capacity-sized per-tile DMA is pure overhead above the real
-    # occupancy; undersizing silently drops triangles, so verify first).
-    try:
-        import dataclasses
+    # Measured-occupancy capacity tuning (utils/autotune.py — the same
+    # path FrameDriver/entry() use; nothing bench-specific).
+    cfg = autotune_config(scene, params, cfg, verbose=True)
 
-        import jax
-        import jax.numpy as jnp
-
-        from funky_tpu.frame import compute_frame_uniforms
-        from funky_tpu.ops.binning import bin_stats
-        from funky_tpu.passes.geometry import transform_vertices
-
-        @jax.jit
-        def occupancy(scene, params, st0):
-            uni = compute_frame_uniforms(params, st0, cfg)
-            world, clip, _ = transform_vertices(scene, uni.models,
-                                                uni.view_proj)
-            main = bin_stats(clip, scene.tri_indices, cfg.width, cfg.height,
-                             cfg.raster.tile_h, cfg.raster.tile_w,
-                             scene.num_triangles)["max"]
-            ones = jnp.ones((world.shape[0], 1), jnp.float32)
-            world_h = jnp.concatenate([world, ones], axis=-1)
-            sm = jnp.zeros((), jnp.int32)
-            for c in range(4):
-                clip_c = world_h @ uni.light_view_proj[c].T
-                sm = jnp.maximum(sm, bin_stats(
-                    clip_c, scene.tri_indices, cfg.shadow_map_size,
-                    cfg.shadow_map_size, cfg.shadow_raster.tile_h,
-                    cfg.shadow_raster.tile_w, scene.num_triangles)["max"])
-            return main, sm
-
-        main_max, sm_max = map(int, occupancy(scene, params,
-                                              init_frame_state(cfg)))
-
-        def cap(max_count):
-            if max_count <= 0:
-                return None  # fall back to always-correct auto sizing
-            return min(-(-int(max_count * 1.5) // 128) * 128,
-                       scene.tri_indices.shape[0])
-
-        cfg = dataclasses.replace(
-            cfg,
-            raster=dataclasses.replace(cfg.raster, capacity=cap(main_max)),
-            shadow_raster=dataclasses.replace(cfg.shadow_raster,
-                                              capacity=cap(sm_max)))
-        print(f"# tuned capacities: main {cfg.raster.capacity} "
-              f"(max {main_max}), shadow {cfg.shadow_raster.capacity} "
-              f"(max {sm_max})", file=sys.stderr)
-    except Exception as e:
-        print(f"# capacity tuning failed ({e}); using auto", file=sys.stderr)
-
-    # Tune the sparse-evaluation capacities the same way: padded compaction
-    # slots pay real gather cost, so size them to measured occupancy with
-    # headroom (overflow is exact-but-slow via the dense lax.cond fallback).
-    try:
-        import dataclasses
-
-        from funky_tpu.utils.diagnostics import measure_sparse_occupancy
-
-        occ = measure_sparse_occupancy(scene, params, cfg)
-
-        def blocks128(count):
-            return max(-(-int(count * 1.3) // 128) * 128, 128)
-
-        def cap1k(count, headroom=1.3):
-            # padded slots pay real gather cost; occupancy drifts only a
-            # few % frame-to-frame (IGN jitter), and overflow is an
-            # exact dense-fallback frame, not an error
-            return max(-(-int(count * headroom) // 1024) * 1024, 1024)
-
-        cfg = dataclasses.replace(
-            cfg,
-            shadow_pen_capacity=cap1k(occ["pairs"], 1.5),
-            shadow_pen_cascade_caps=tuple(
-                cap1k(c) for c in occ["pairs_per_cascade"]),
-            contact_capacity=cap1k(occ["contact_stage2"]),
-            contact_march_capacity=cap1k(occ["contact_march"]),
-            texture_block_capacity=blocks128(occ["texture_blocks"]),
-            shadow_pen_block_capacity=blocks128(occ["pair_blocks"]),
-            contact_block_capacity=blocks128(occ["contact_blocks"]))
-        print(f"# sparse occupancy {occ} -> pen_capacity "
-              f"{cfg.shadow_pen_capacity}, contact_capacity "
-              f"{cfg.contact_capacity}, march "
-              f"{cfg.contact_march_capacity}", file=sys.stderr)
-    except Exception as e:
-        print(f"# sparse tuning failed ({e}); using defaults",
-              file=sys.stderr)
-
-    state = init_frame_state(cfg)
     frame = compiled_gltf_frame(cfg)
-
-    # warm / compile, then fully drain
-    rgba, state = frame(scene, params, state)
-    float(np.asarray(rgba.ravel()[0]))
-
     n = int(os.environ.get("BENCH_FRAMES", "10"))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        rgba, state = frame(scene, params, state)
-    float(np.asarray(rgba.ravel()[0]))
-    dt = (time.perf_counter() - t0) / n
-    fps = 1.0 / dt
+    r = int(os.environ.get("BENCH_REPEATS", "3"))
+    fps = timed_runs(frame, lambda: init_frame_state(cfg), scene, params,
+                     n, r)
 
     # Secondary metrics (stderr; the driver consumes only the stdout line).
     try:
@@ -167,19 +96,11 @@ def main():
                                      default_cube_params)
         from funky_tpu.models.scene import build_cube_scene
 
-        def chained(f, s0, nn=10):
-            st = s0
-            rgba, st = f(scene, params, st)
-            float(np.asarray(rgba.ravel()[0]))
-            t0 = time.perf_counter()
-            for _ in range(nn):
-                rgba, st = f(scene, params, st)
-            float(np.asarray(rgba.ravel()[0]))
-            return nn / (time.perf_counter() - t0)
-
         half = dataclasses.replace(
             cfg, flags=GltfFrameFlags(half_res_shadows=True))
-        fps_half = chained(compiled_gltf_frame(half), init_frame_state(half))
+        fps_half = timed_runs(compiled_gltf_frame(half),
+                              lambda: init_frame_state(half), scene,
+                              params, n, 1)[0]
         print(f"# half-res shadows: {fps_half:.2f} fps", file=sys.stderr)
 
         import jax
@@ -207,10 +128,14 @@ def main():
 
         d = sdf_chain(jnp.float32(1.0))
         float(np.asarray(d))
-        t0 = time.perf_counter()
-        d = sdf_chain(jnp.float32(1.0))
-        float(np.asarray(d))
-        print(f"# sdf 960x540: {20 / (time.perf_counter() - t0):.1f} fps",
+        sdf_fps = []
+        for _ in range(r):
+            t0 = time.perf_counter()
+            d = sdf_chain(jnp.float32(1.0))
+            float(np.asarray(d))
+            sdf_fps.append(20 / (time.perf_counter() - t0))
+        print(f"# sdf 960x540: median {statistics.median(sdf_fps):.1f} fps "
+              f"(min {min(sdf_fps):.1f} max {max(sdf_fps):.1f})",
               file=sys.stderr)
 
         ccfg = FrameConfig(width=512, height=512)
@@ -220,21 +145,29 @@ def main():
         all_params = [default_cube_params(i * 0.02) for i in range(30)]
         img = cframe(cscene, all_params[0])
         float(np.asarray(img.ravel()[0]))
-        t0 = time.perf_counter()
-        for p in all_params:
-            img = cframe(cscene, p)
-        float(np.asarray(img.ravel()[0]))
-        print(f"# cube 512x512: {30 / (time.perf_counter() - t0):.1f} fps "
-              f"(reference headline: 144+)", file=sys.stderr)
+        cube_fps = []
+        for _ in range(r):
+            t0 = time.perf_counter()
+            for p in all_params:
+                img = cframe(cscene, p)
+            float(np.asarray(img.ravel()[0]))
+            cube_fps.append(30 / (time.perf_counter() - t0))
+        print(f"# cube 512x512: median {statistics.median(cube_fps):.1f} "
+              f"fps (min {min(cube_fps):.1f} max {max(cube_fps):.1f}; "
+              f"reference headline: 144+)", file=sys.stderr)
     except Exception as e:  # secondary metrics must never break the bench
         print(f"# secondary metrics failed: {e}", file=sys.stderr)
 
+    med = statistics.median(fps)
     print(json.dumps({
         "metric": "glTF Duck + 4-cascade PCSS shadows + TAA + contact "
                   "shadows, 1920x1080",
-        "value": round(fps, 3),
+        "value": round(med, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / 60.0, 4),
+        "vs_baseline": round(med / 60.0, 4),
+        "median_of": r,
+        "min": round(min(fps), 3),
+        "max": round(max(fps), 3),
     }))
 
 

@@ -49,7 +49,8 @@ def main():
         cfg = GltfConfig(width=w, height=h, shadow_map_size=512,
                          raster=tile, shadow_raster=tile)
         drv = FrameDriver(cfg,
-                          scene_path="/root/reference/models/scene.gltf")
+                          scene_path="/root/reference/models/scene.gltf",
+                          autotune=True)
         print("\x1b[2J", end="")
         TerminalViewer(drv, cols=100).run()
         return
@@ -83,7 +84,8 @@ def main():
     tile = RasterConfig(tile_h=16, tile_w=128, capacity=cap)
     gcfg = GltfConfig(width=w, height=h, shadow_map_size=2048 if s >= 1
                       else 512, raster=tile, shadow_raster=tile)
-    drv = FrameDriver(gcfg, scene_path="/root/reference/models/scene.gltf")
+    drv = FrameDriver(gcfg, scene_path="/root/reference/models/scene.gltf",
+                      autotune=True)
     for _ in range(3):
         drv.step()
     write_png(out / "duck_shadows_ui.png", drv.readback())

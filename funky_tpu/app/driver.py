@@ -45,9 +45,14 @@ class FrameDriver:
                  scene_path: Optional[str | Path] = None,
                  device_scene: Optional[DeviceScene] = None,
                  enable_ui: bool = True,
-                 sanitize: bool = False) -> None:
+                 sanitize: bool = False,
+                 autotune: bool = False) -> None:
         # sanitize: per-frame NaN/Inf guard over outputs (utils/sanitize;
         # the validation-layer analogue — costs a host sync, debug only)
+        # autotune: measure this scene's occupancy at startup and tighten
+        # every sparse capacity (utils/autotune) — the production default
+        # for real scenes; off for tests/tiny configs where the tuning
+        # frames outweigh the savings.
         self.cfg = cfg
         self.sanitize = sanitize
         self.world = ecs.World()
@@ -73,6 +78,12 @@ class FrameDriver:
                 except (OSError, ValueError) as e:  # no-model fallback
                     print(f"glTF load failed ({e}); rendering ground only")
             self.device_scene = build_device_scene(gltf)
+
+        if autotune:
+            from ..utils.autotune import autotune_config
+
+            self.cfg = cfg = autotune_config(self.device_scene,
+                                             self._params(), cfg)
 
         self._frame_fn = compiled_gltf_frame(cfg)
         self.state: FrameState = init_frame_state(cfg)
@@ -138,7 +149,14 @@ class FrameDriver:
                   f"({self.consecutive_failures} consecutive): {e}")
             if self.consecutive_failures >= self.max_consecutive_failures:
                 raise
-            self.state = init_frame_state(self.cfg)
+            # State-preserving retry (the reference early-returns with its
+            # GPU state intact, main.rs:601-613): keep the previous
+            # FrameState so one transient failure doesn't reset TAA
+            # history. The failed call may already have consumed the
+            # donated state buffers — only then rebuild from scratch.
+            if any(getattr(x, "is_deleted", lambda: False)()
+                   for x in self.state):
+                self.state = init_frame_state(self.cfg)
             return self._last_image
         if self.sanitize:
             from ..utils.sanitize import assert_finite

@@ -15,6 +15,13 @@ cells, and the same event behaviors map onto terminal keys:
     (UI focus) j/k select widget, space toggle, +/- adjust — keys are
                CONSUMED by the panel, not the camera (main.rs:475-486)
 
+Pointer events (the reference routes mouse input through egui,
+main.rs:475-486, and consumes the wheel for FOV zoom, main.rs:534-542)
+arrive as xterm SGR-1006 escape sequences (ESC [ < b ; x ; y M/m): left
+click hits the debug panel's widgets, the wheel zooms the camera FOV.
+`run()` enables terminal mouse reporting; `feed()` accepts the raw
+sequences, so tests drive clicks without a tty.
+
 `TerminalViewer.feed()` is the event entry point and is fully scriptable
 (tests drive it without a tty); `run()` wires it to a raw-mode stdin.
 """
@@ -91,6 +98,8 @@ class TerminalViewer:
                 st.minimized = not st.minimized
             elif ev == "\t":                      # egui focus toggle
                 st.ui_focus = not st.ui_focus
+            elif ev.startswith("\x1b[<"):         # SGR-1006 mouse report
+                self._mouse(ev)
             elif st.ui_focus and self.driver.ui_visible:
                 # Consumed by the panel (main.rs:475-486): never reaches
                 # the camera.
@@ -98,6 +107,39 @@ class TerminalViewer:
             elif ev in _CAMERA_KEYS:
                 keys.add(_CAMERA_KEYS[ev])
         return keys
+
+    # -- pointer events --------------------------------------------------------
+    def _cell_to_pixel(self, cx: int, cy: int) -> tuple:
+        """Terminal cell (1-based col, row) -> framebuffer pixel, inverting
+        render_ansi's sampling grid (each cell shows 2 vertical pixels)."""
+        w, h = self.driver.cfg.width, self.driver.cfg.height
+        cols = min(self.cols, w)
+        rows = max(2, int(cols * (h / w) * 0.5) * 2)
+        px = (cx - 1) * (w - 1) / max(cols - 1, 1)
+        py = (2 * (cy - 1)) * (h - 1) / max(rows - 1, 1)
+        return px, py
+
+    def _mouse(self, ev: str) -> None:
+        """SGR-1006 sequence ESC [ < Cb ; Cx ; Cy (M=press | m=release):
+        wheel -> FOV zoom (main.rs:534-542), left press -> egui hit test
+        (main.rs:475-486)."""
+        from .camera import apply_scroll_zoom
+
+        if len(ev) < 5 or ev[-1] not in "Mm":
+            return
+        try:
+            cb, cx, cy = (int(p) for p in ev[3:-1].split(";"))
+        except ValueError:
+            return
+        press = ev[-1] == "M"
+        if cb in (64, 65) and press:              # wheel up / down
+            self.driver.camera = apply_scroll_zoom(
+                self.driver.camera, 1.0 if cb == 64 else -1.0)
+        elif cb == 0 and press:                   # left button press
+            if self.driver.ui is not None and self.driver.ui_visible:
+                px, py = self._cell_to_pixel(cx, cy)
+                changes = self.driver.ui.hit(px, py, self.driver.ui_data())
+                self.driver.apply_ui_changes(changes)
 
     def _ui_key(self, ev: str) -> None:
         st = self.state
@@ -164,16 +206,42 @@ class TerminalViewer:
         fd = sys.stdin.fileno()
         old = termios.tcgetattr(fd)
         tty.setcbreak(fd)
+
+        def read_event(events: list) -> None:
+            """Parse one key/escape sequence by prefix: CSI (ESC [ ...)
+            and SS3 (ESC O ...) read until their final byte; a lone ESC —
+            or ESC followed by an unrelated key — stays a bare ESC event
+            (exit) instead of swallowing the next keys (ADVICE r2)."""
+            ch = sys.stdin.read(1)
+            if ch != "\x1b":
+                events.append(ch)
+                return
+            if not select.select([fd], [], [], 0.01)[0]:
+                events.append("\x1b")               # lone ESC
+                return
+            nxt = sys.stdin.read(1)
+            if nxt not in "[O":                     # ESC then a normal key
+                events.append("\x1b")
+                events.append(nxt)
+                return
+            seq = ch + nxt
+            while select.select([fd], [], [], 0.01)[0]:
+                c = sys.stdin.read(1)
+                seq += c
+                if "\x40" <= c <= "\x7e":           # CSI final byte
+                    break
+            events.append(seq)
+
         try:
+            # xterm mouse reporting: button events, SGR-1006 encoding
+            sys.stdout.write("\x1b[?1000h\x1b[?1006h")
+            sys.stdout.flush()
             frame = 0
             last = time.perf_counter()
             while self.state.running:
                 events = []
                 while select.select([fd], [], [], 0.0)[0]:
-                    ch = sys.stdin.read(1)
-                    if ch == "\x1b" and select.select([fd], [], [], 0.01)[0]:
-                        ch += sys.stdin.read(2)     # arrow escape sequence
-                    events.append(ch)
+                    read_event(events)
                 now = time.perf_counter()
                 self.step(events, dt=now - last)
                 last = now
@@ -185,4 +253,6 @@ class TerminalViewer:
                 if max_frames is not None and frame >= max_frames:
                     break
         finally:
+            sys.stdout.write("\x1b[?1006l\x1b[?1000l")
+            sys.stdout.flush()
             termios.tcsetattr(fd, termios.TCSADRAIN, old)

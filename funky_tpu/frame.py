@@ -228,6 +228,16 @@ class GltfConfig:
     # (passes/shading.py). None = auto (a quarter of the screen's blocks);
     # 0 = dense. Overflow falls back to dense sampling (exact).
     texture_block_capacity: int | None = None
+    # Unified valid-block back half: ONE 8x8 block compaction of
+    # `tri_id >= 0` feeds the ENTIRE per-pixel back half (deferred
+    # interpolate -> classify -> shadow taps -> TAA -> contact -> shade)
+    # on flat block-major arrays, with a single block scatter of
+    # (rgba, history) at the end — every gather AND every elementwise
+    # pass shrinks by the sky fraction (~45% in the flagship view).
+    # Value = max valid 8x8 blocks; None = auto (3/4 of the screen's
+    # blocks); 0 = dense back half. Overflow falls back to the dense
+    # back half via lax.cond (exact either way).
+    valid_block_capacity: int | None = None
 
     @property
     def effective_texture_blocks(self) -> int | None:
@@ -236,6 +246,18 @@ class GltfConfig:
         if self.texture_block_capacity is not None:
             return self.texture_block_capacity
         return max((self.height // 8) * (self.width // 8) // 4, 64)
+
+    def effective_valid_blocks(self, h: int, w: int) -> int | None:
+        """Valid-block budget for an (h, w) slab; None = blocked back half
+        disabled for this shape."""
+        if self.valid_block_capacity == 0:
+            return None
+        if h % 8 != 0 or w % 8 != 0:
+            return None
+        nb = (h // 8) * (w // 8)
+        if self.valid_block_capacity is not None:
+            return min(self.valid_block_capacity, nb)
+        return min(max(-(-nb * 3 // 4 // 128) * 128, 128), nb)
 
     @property
     def aspect(self) -> float:
@@ -311,7 +333,23 @@ def init_frame_state(cfg: GltfConfig) -> FrameState:
 
 def compute_frame_uniforms(params: GltfParams, state: FrameState,
                            cfg: GltfConfig):
+    """Computes the per-frame UBO analogue behind an optimization barrier
+    (keeps the tiny uniform math from fusing into consumers).
+
+    Determinism note: results are deterministic PER COMPILED CONFIG, but
+    not bit-identical ACROSS configs — XLA/LLVM's contextual fp codegen
+    compiles this tiny kernel differently depending on the rest of the
+    program (measured: light_view_proj differs by ~2e-7 ulps between the
+    blocked and dense back halves, which cascade-depth compares amplify
+    to ~0.016 penumbra flips at isolated pixels). Cross-path parity tests
+    must therefore compare both paths inside ONE jitted program (where
+    they agree to ~4e-7); goldens carry a few-ulp tolerance."""
     flags = cfg.flags
+    return jax.lax.optimization_barrier(_raw_frame_uniforms(
+        params, state, cfg, flags))
+
+
+def _raw_frame_uniforms(params, state, cfg, flags):
     return uniforms.compute_uniforms(
         camera_pos=params.camera_pos,
         camera_yaw=params.camera_yaw,
@@ -339,12 +377,166 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
     shadows -> final shading (gltf.frag main). Pure; the single-chip frame
     uses one full-height slab, multi-chip shards rows over devices.
 
+    Dispatches to the unified valid-block back half (ONE 8x8 compaction of
+    `tri_id >= 0` feeding every pass on flat block-major arrays — sky
+    blocks pay nothing) when cfg.valid_block_capacity allows, else the
+    dense 2D path. Identical outputs either way (same elementwise ops on
+    the same values; overflow lax.cond-falls back to dense).
+
     class_maps: ShadowClassMaps for the sparse shadow path (None = dense).
     tri_flags: per-triangle flags matching `blocks`' row count (defaults
     to scene.tri_flags; the near-clip expansion passes its extended copy).
 
     Returns (rgba (h, W, 4), shadow-history slab (h, W, 2)).
     """
+    flags = cfg.flags
+    if tri_flags is None:
+        tri_flags = scene.tri_flags
+    h, w = tri_id.shape
+    bcap = cfg.effective_valid_blocks(h, w)
+    if bcap is not None and flags.effective_shadow_scale == 1:
+        return _shade_slab_blocked(scene, uni, state, shadow_maps, tri_id,
+                                   depth, setup_data, blocks, cfg, y0,
+                                   class_maps, tri_flags, bcap)
+    return _shade_slab_dense(scene, uni, state, shadow_maps, tri_id,
+                             depth, setup_data, blocks, cfg, y0,
+                             class_maps, tri_flags)
+
+
+def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
+                gbuf, frag, cfg: GltfConfig, class_maps, old_history, y0):
+    """The per-pixel back half on ANY domain shape (flat block-major for
+    the blocked path): shadow filter -> TAA -> contact -> final shading.
+    `frag` holds pixel centers (x+0.5 convention) in GLOBAL framebuffer
+    coords; `old_history` matches gbuf's shape + (2,). Returns
+    (rgba, new_history)."""
+    flags = cfg.flags
+    normal = gbuf.normal / jnp.maximum(
+        jnp.linalg.norm(gbuf.normal, axis=-1, keepdims=True), 1e-12)
+    n_dot_l = jnp.maximum(
+        jnp.sum(normal * uni.light_dir, axis=-1), 0.0)    # `diff`
+
+    # fragViewDepth = -viewPos.z (gltf.vert:37-38)
+    view_z = (gbuf.world @ uni.view[2, :3].T) + uni.view[2, 3]
+    view_depth = -view_z
+
+    if flags.enable_shadows:
+        if class_maps is not None:
+            sres, c0, c1, ct = shadow_filter.cascaded_shadow_sparse(
+                uni, shadow_maps, class_maps, gbuf.world, normal, n_dot_l,
+                view_depth, frag, flags.use_pcss, gbuf.valid,
+                cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
+                cfg.shadow_pen_block_capacity)
+        else:
+            sres, c0, c1, ct = shadow_filter.cascaded_shadow(
+                uni, shadow_maps, gbuf.world, normal, n_dot_l, view_depth,
+                frag, flags.use_pcss)
+    else:
+        one = jnp.ones(gbuf.valid.shape, jnp.float32)
+        sres = shadow_filter.ShadowResult(one, one, one,
+                                          jnp.zeros_like(one))
+        c0 = jnp.zeros(gbuf.valid.shape, jnp.int32)
+        c1 = c0
+        ct = jnp.zeros(gbuf.valid.shape, jnp.float32)
+
+    shadow_term, new_history = taa.apply_shadow_taa(
+        sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa,
+        full_height=cfg.height, frag=frag, full_width=cfg.width)
+
+    if flags.enable_contact_shadows:
+        if flags.sparse_contact:
+            contact_term = contact.compute_contact_shadow_sparse(
+                gbuf.world, normal, uni, state.prev_depth, y0,
+                capacity=cfg.contact_capacity,
+                march_capacity=cfg.contact_march_capacity,
+                valid=gbuf.valid,
+                block_capacity=cfg.contact_block_capacity, frag=frag)
+        else:
+            contact_term = contact.compute_contact_shadow(
+                gbuf.world, normal, uni, state.prev_depth, y0, frag=frag)
+        shadow_term = jnp.minimum(shadow_term, contact_term)  # gltf.frag:619
+
+    # History only updates where fragments actually shaded (imageStore
+    # under the raster, gltf.frag:588).
+    new_history = jnp.where(gbuf.valid[..., None], new_history,
+                            old_history)
+
+    background = jnp.asarray(GLTF_CLEAR, jnp.float32)
+    if flags.debug_cascades:
+        rgba = shading.cascade_debug_color(gbuf, c0, c1, ct, shadow_term,
+                                           background)
+    else:
+        rgba = shading.shade_gltf(gbuf, scene.texture, scene.texture_sizes,
+                                  uni.camera_pos, uni.light_dir,
+                                  shadow_term, background,
+                                  cfg.effective_texture_blocks)
+    return rgba, new_history
+
+
+def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
+                        shadow_maps, tri_id, depth, setup_data, blocks,
+                        cfg: GltfConfig, y0, class_maps, tri_flags,
+                        bcap: int):
+    """The unified valid-block back half (the TPU answer to the GPU only
+    launching fragments where the raster emitted them, gltf.frag:1-656
+    running once per COVERED pixel): compact 8x8 blocks with any coverage,
+    run the whole back half on flat (bcap*64,) block-major arrays (every
+    gather AND every dense elementwise op skips sky blocks), scatter
+    (rgba, history) back in one block write. Block-capacity overflow falls
+    back to the dense 2D path (exact, slower)."""
+    from .ops.compact import (compact_valid_blocks, gather_blocks,
+                              scatter_blocks)
+
+    h, w = tri_id.shape
+    bc = compact_valid_blocks(tri_id >= 0, 8, 8, bcap)
+
+    old_slab = jax.lax.dynamic_slice(
+        state.shadow_history, (jnp.asarray(y0, jnp.int32), 0, 0),
+        (h, w, 2))
+
+    def blocked(_):
+        # One block-row gather moves all per-pixel raster outputs +
+        # carried history into the compacted domain (the int32 tri ids
+        # ride as bitcast f32 lanes — exact for any value).
+        payload = jnp.concatenate([
+            jax.lax.bitcast_convert_type(tri_id, jnp.float32)[..., None],
+            depth[..., None], old_slab], axis=-1)          # (h, w, 4)
+        rows = gather_blocks(payload, bc)                  # (bcap*64, 4)
+        tri_e = jax.lax.bitcast_convert_type(rows[:, 0], jnp.int32)
+        depth_e = rows[:, 1]
+        old_hist_e = rows[:, 2:4]
+        px, py, slot_valid = bc.pixel_xy()
+        tri_e = jnp.where(slot_valid, tri_e, -1)
+        pxf = px.astype(jnp.float32) + 0.5
+        pyf = py.astype(jnp.float32) + 0.5 + jnp.asarray(y0, jnp.float32)
+        frag = jnp.stack([pxf, pyf], axis=-1)
+
+        gbuf = deferred.interpolate_at(tri_e, depth_e, setup_data, blocks,
+                                       tri_flags, pxf, pyf)
+        rgba_e, hist_e = _shade_core(scene, uni, state, shadow_maps, gbuf,
+                                     frag, cfg, class_maps, old_hist_e, y0)
+
+        background = jnp.asarray(GLTF_CLEAR + (1.0,), jnp.float32)
+        base = jnp.concatenate([
+            jnp.broadcast_to(background, (h, w, 4)), old_slab], axis=-1)
+        out = scatter_blocks(base, bc,
+                             jnp.concatenate([rgba_e, hist_e], axis=-1))
+        return out[..., 0:4], out[..., 4:6]
+
+    def dense(_):
+        return _shade_slab_dense(scene, uni, state, shadow_maps, tri_id,
+                                 depth, setup_data, blocks, cfg, y0,
+                                 class_maps, tri_flags)
+
+    return jax.lax.cond(bc.fits, blocked, dense, operand=None)
+
+
+def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
+                      shadow_maps, tri_id, depth, setup_data, blocks,
+                      cfg: GltfConfig, y0=0, class_maps=None,
+                      tri_flags=None):
+    """Dense 2D back half — the blocked path's overflow fallback, the
+    shadow_eval_scale > 1 perf mode, and the bit-parity reference."""
     flags = cfg.flags
     if tri_flags is None:
         tri_flags = scene.tri_flags
@@ -472,6 +664,10 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
         raw_maps = shadow.render_shadow_maps(
             world_v, scene.tri_indices, scene.num_triangles,
             uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
+        # Materialize the raw maps once: both the class-map build and the
+        # quad-pack consume them, and the barrier keeps the raster from
+        # being fused (= recomputed) into each consumer.
+        raw_maps = jax.lax.optimization_barrier(raw_maps)
         if flags.sparse_shadows:
             class_maps = build_class_maps(
                 raw_maps, cfg.class_coarse, cfg.max_softness,

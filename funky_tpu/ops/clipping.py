@@ -93,10 +93,14 @@ def expand_near_clipped(tri_clip: jnp.ndarray, blocks: jnp.ndarray,
     wr = cr[..., 3]                                        # (K, 3)
 
     def isect(wa, wb):
-        """Edge parameter where w == w_eps (one endpoint each side)."""
+        """Edge parameter where w == w_eps (one endpoint each side). The
+        true crossing always lies ON the edge, so the parameter is clamped
+        to [0, 1]: a near-degenerate denominator (both endpoints within
+        ~1e-30 of w_eps) then yields a valid edge point instead of a
+        huge/garbage parameter (ADVICE r2)."""
         d = wb - wa
-        return ((w_eps - wa)
-                / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30))[:, None]
+        t = (w_eps - wa) / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+        return jnp.clip(t, 0.0, 1.0)[:, None]
 
     e = jnp.eye(3, dtype=jnp.float32)
     t01 = isect(wr[:, 0], wr[:, 1])

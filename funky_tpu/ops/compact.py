@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class Compacted(NamedTuple):
@@ -55,17 +56,17 @@ def compact_indices(mask: jnp.ndarray, capacity: int,
     flat = mask.ravel()
     n = flat.shape[0]
     capacity = min(capacity, n)
-    arange = jnp.arange(n, dtype=jnp.int32)
     if group_key is None:
         # Stable argsort of (not mask): True (0) sorts first, stable keeps
         # raster order.
         order = jnp.argsort(~flat, stable=True)
     else:
-        # int32 keys: requires (max_group + 1) * n < 2^31 (fine for pixel
-        # masks grouped by cascade: 5 * 4M << 2^31).
-        key = jnp.where(flat, group_key.ravel() * n + arange,
-                        jnp.int32(group_key.max() + 1) * n + arange)
-        order = jnp.argsort(key)
+        # Stable argsort on the key alone keeps raster order within a key
+        # with no composite-key range limit (keys only need to stay below
+        # INT32_MAX, the padding key for masked-out elements).
+        key = jnp.where(flat, group_key.ravel(),
+                        jnp.int32(jnp.iinfo(jnp.int32).max))
+        order = jnp.argsort(key, stable=True)
     order = order[:capacity].astype(jnp.int32)
     count = jnp.sum(flat, dtype=jnp.int32)
     slot_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
@@ -142,14 +143,12 @@ def compact_indices_blocked(mask: jnp.ndarray, capacity: int,
     m = flat[cand_safe] & cand_valid
     n_cand = cand.shape[0]
     capacity = min(capacity, n_cand)
-    arange = jnp.arange(n_cand, dtype=jnp.int32)
     if group_key is None:
         order = jnp.argsort(~m, stable=True)
     else:
         gk = group_key.ravel()[cand_safe]
-        key = jnp.where(m, gk * n_cand + arange,
-                        jnp.int32(group_key.max() + 1) * n_cand + arange)
-        order = jnp.argsort(key)
+        key = jnp.where(m, gk, jnp.int32(jnp.iinfo(jnp.int32).max))
+        order = jnp.argsort(key, stable=True)
     order = order[:capacity]
     count = jnp.sum(flat, dtype=jnp.int32)
     slot_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
@@ -157,6 +156,120 @@ def compact_indices_blocked(mask: jnp.ndarray, capacity: int,
     comp = Compacted(idx=jnp.where(slot_valid, cand[order], -1),
                      slot_valid=slot_valid, count=count)
     return BlockedCompacted(comp=comp, block_count=comp_b.count)
+
+
+class BlockCompaction(NamedTuple):
+    """Block-level compaction of a 2D domain into contiguous block-major
+    runs: the payload moves at BLOCK granularity (one gathered row per
+    8x8 block instead of per pixel — ~64x fewer gather-loop iterations;
+    the block-major relayout itself is a dense HBM stream). The flat
+    compacted domain has shape (capacity_blocks * bh * bw,) with each
+    block's bh*bw pixels contiguous."""
+    comp_b: Compacted        # block-level indices into the (gh*gw) grid
+    gh: int
+    gw: int
+    bh: int
+    bw: int
+
+    @property
+    def block_len(self) -> int:
+        return self.bh * self.bw
+
+    @property
+    def capacity_blocks(self) -> int:
+        return self.comp_b.idx.shape[0]
+
+    @property
+    def fits(self) -> jnp.ndarray:
+        return self.comp_b.count <= self.capacity_blocks
+
+    def pixel_xy(self):
+        """Per-slot pixel coords (x, y) in the source 2D domain, plus the
+        slot-valid mask — all shaped (capacity_blocks * bh * bw,)."""
+        safe = jnp.maximum(self.comp_b.idx, 0)
+        by = safe // self.gw
+        bx = safe % self.gw
+        j = jnp.arange(self.block_len, dtype=jnp.int32)
+        px = (bx[:, None] * self.bw + j[None] % self.bw).reshape(-1)
+        py = (by[:, None] * self.bh + j[None] // self.bw).reshape(-1)
+        valid = jnp.repeat(self.comp_b.slot_valid, self.block_len)
+        return px, py, valid
+
+
+def compact_valid_blocks(mask: jnp.ndarray, bh: int, bw: int,
+                         capacity_blocks: int) -> BlockCompaction:
+    """Block-level compaction: every (bh, bw) block of the 2D `mask` with
+    ANY True pixel gets a slot (block-raster order). `comp_b.count` is the
+    TRUE block count; `fits` is False on overflow."""
+    h, w = mask.shape
+    assert h % bh == 0 and w % bw == 0
+    gh, gw = h // bh, w // bw
+    bm = mask.reshape(gh, bh, gw, bw).any(axis=(1, 3))
+    comp_b = compact_indices(bm, capacity_blocks)
+    return BlockCompaction(comp_b=comp_b, gh=gh, gw=gw, bh=bh, bw=bw)
+
+
+def _to_block_rows(a: jnp.ndarray, bc: BlockCompaction) -> jnp.ndarray:
+    """(h, w, ...) -> (gh*gw, bh*bw*C) block-major row table."""
+    cc = int(np.prod(a.shape[2:])) if a.ndim > 2 else 1
+    t = a.reshape(bc.gh, bc.bh, bc.gw, bc.bw, cc)
+    return t.transpose(0, 2, 1, 3, 4).reshape(bc.gh * bc.gw,
+                                              bc.block_len * cc)
+
+
+def gather_blocks(a: jnp.ndarray, bc: BlockCompaction) -> jnp.ndarray:
+    """Gather the compacted blocks of a (h, w, ...) array as a flat
+    block-major (capacity_blocks * bh * bw, ...) array: ONE gathered row
+    per block."""
+    rows = _to_block_rows(a, bc)[jnp.maximum(bc.comp_b.idx, 0)]
+    out = rows.reshape((bc.capacity_blocks * bc.block_len,) + a.shape[2:])
+    return out
+
+
+def scatter_blocks(base: jnp.ndarray, bc: BlockCompaction,
+                   values: jnp.ndarray) -> jnp.ndarray:
+    """Scatter flat block-major `values` (capacity_blocks * bh * bw, ...)
+    into the dense (h, w, ...) `base` at the compacted blocks (one row per
+    block; padding slots dropped)."""
+    t = _to_block_rows(base, bc)
+    vals = values.reshape(bc.capacity_blocks, -1)
+    nb = bc.gh * bc.gw
+    idx = jnp.where(bc.comp_b.slot_valid, bc.comp_b.idx, nb)
+    t = t.at[idx].set(vals, mode="drop")
+    cc = int(np.prod(base.shape[2:])) if base.ndim > 2 else 1
+    out = t.reshape(bc.gh, bc.gw, bc.bh, bc.bw, cc).transpose(0, 2, 1, 3, 4)
+    return out.reshape(base.shape)
+
+
+def compact_flat_blocks(mask: jnp.ndarray, block: int,
+                        capacity_blocks: int) -> Compacted:
+    """1D analogue of compact_blocks for block-major flat domains: every
+    contiguous `block`-element run of `mask` with ANY True element expands
+    to all its element indices. `count` is the TRUE block count."""
+    n = mask.shape[0]
+    assert n % block == 0
+    bm = mask.reshape(n // block, block).any(axis=1)
+    comp_b = compact_indices(bm, capacity_blocks)
+    safe = jnp.maximum(comp_b.idx, 0)
+    idx = (safe[:, None] * block
+           + jnp.arange(block, dtype=jnp.int32)[None]).reshape(-1)
+    slot_valid = jnp.repeat(comp_b.slot_valid, block)
+    return Compacted(idx=jnp.where(slot_valid, idx, -1),
+                     slot_valid=slot_valid, count=comp_b.count)
+
+
+def compact_blocks_any(mask: jnp.ndarray,
+                       capacity_blocks: int) -> Compacted | None:
+    """Whole-block compaction on either domain layout: 2D masks use 8x8
+    spatial blocks, flat block-major masks (the blocked back half's
+    compacted domain) use contiguous 64-runs. None when the shape has no
+    block structure (callers fall back to dense/plain compaction)."""
+    if (mask.ndim == 2 and mask.shape[0] % 8 == 0
+            and mask.shape[1] % 8 == 0):
+        return compact_blocks(mask, 8, 8, capacity_blocks)
+    if mask.ndim == 1 and mask.shape[0] % 64 == 0:
+        return compact_flat_blocks(mask, 64, capacity_blocks)
+    return None
 
 
 def gather_rows(table: jnp.ndarray, comp: Compacted) -> jnp.ndarray:

@@ -194,19 +194,31 @@ def _jitter(h, w, y0, frame):
         [frag_x + frame * 13.37, frag_y + frame * 17.17], axis=-1))
 
 
+def _jitter_at(frag, frame):
+    """_jitter on explicit pixel centers (x+0.5 convention), any batch."""
+    return interleaved_gradient_noise(jnp.stack(
+        [frag[..., 0] + frame * 13.37, frag[..., 1] + frame * 17.17],
+        axis=-1))
+
+
 def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
                            uni: FrameUniforms, prev_depth: jnp.ndarray,
-                           y0=0) -> jnp.ndarray:
-    """gltf.frag:324-363. Returns (h, W) shadow factor in [0, 1] for the
-    row slab at global row y0; prev_depth is always full-frame (rays can
+                           y0=0, frag: jnp.ndarray | None = None
+                           ) -> jnp.ndarray:
+    """gltf.frag:324-363. Returns the shadow factor in [0, 1] for a row
+    slab at global row y0 (frag=None), or for any batch with explicit
+    `frag` pixel centers; prev_depth is always full-frame (rays can
     cross slab boundaries)."""
-    h, w = world.shape[:2]
     # barrier: keep the packing rolls out of the probes' gather fusions
     depth_packed = jax.lax.optimization_barrier(quad_pack(prev_depth))
 
     march_start, march_dir, on_screen, facing = _ray_setup(world, normal,
                                                            uni)
-    jitter = _jitter(h, w, y0, uni.debug_flags[3])
+    if frag is None:
+        h, w = world.shape[:2]
+        jitter = _jitter(h, w, y0, uni.debug_flags[3])
+    else:
+        jitter = _jitter_at(frag, uni.debug_flags[3])
     intersected, max_t, last_pen = _march(depth_packed, march_start,
                                           march_dir, jitter)
     term = _soft_term(intersected & on_screen & facing, max_t, last_pen)
@@ -490,7 +502,8 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
                                   capacity: int | None = None,
                                   march_capacity: int | None = None,
                                   valid: jnp.ndarray | None = None,
-                                  block_capacity: int | None = None
+                                  block_capacity: int | None = None,
+                                  frag: jnp.ndarray | None = None
                                   ) -> jnp.ndarray:
     """Sparse-exact contact shadows: identical outputs to
     compute_contact_shadow where `valid` (geometry coverage — sky pixels'
@@ -498,14 +511,18 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
     per-probe-refine set (default pixels // 4), `march_capacity` the
     exact-march set (default capacity // 4); overflow at either falls back
     to the dense march (exact, slower). Size both from
-    utils.diagnostics.measure_sparse_occupancy."""
+    utils.diagnostics.measure_sparse_occupancy.
+
+    Domain layouts: row slab (h, W) with y0 (frag=None), or any batch
+    shape with explicit `frag` pixel centers (the blocked back half's
+    flat compacted domain — two-level compaction then uses 64-runs)."""
     from ..ops.compact import (Compacted, compact_indices,
                                compact_indices_blocked, gather_rows,
                                scatter_back)
 
-    h, w = world.shape[:2]
+    batch = world.shape[:-1]
     hd, wd = prev_depth.shape
-    n = h * w
+    n = int(np.prod(batch))
     cap2 = capacity if capacity is not None else max(n // 4, 256)
     cap3 = march_capacity if march_capacity is not None else max(
         cap2 // 4, 256)
@@ -518,7 +535,11 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
 
     march_start, march_dir, on_screen, facing = _ray_setup(world, normal,
                                                            uni)
-    jitter = _jitter(h, w, y0, uni.debug_flags[3])
+    if frag is None:
+        h, w = batch
+        jitter = _jitter(h, w, y0, uni.debug_flags[3])
+    else:
+        jitter = _jitter_at(frag, uni.debug_flags[3])
 
     # Footprints are in DEPTH-BUFFER pixels (uv spans the full frame even
     # when this slab is subsampled or row-sharded).
@@ -534,9 +555,16 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
     # untuned default would make the candidate domain ~the full domain
     # and just add overhead.
     fits_blocks = jnp.ones((), bool)
-    if (block_capacity is not None and h % 8 == 0 and w % 8 == 0):
+    if (block_capacity is not None and stage2.ndim == 2
+            and batch[0] % 8 == 0 and batch[1] % 8 == 0):
         blocked = compact_indices_blocked(stage2, cap2, 8, 8,
                                           block_capacity)
+        comp2 = blocked.comp
+        fits_blocks = blocked.block_count <= block_capacity
+    elif (block_capacity is not None and stage2.ndim == 1
+          and n % 64 == 0):
+        blocked = compact_indices_blocked(stage2.reshape(n // 64, 64),
+                                          cap2, 1, 64, block_capacity)
         comp2 = blocked.comp
         fits_blocks = blocked.block_count <= block_capacity
     else:
@@ -569,7 +597,7 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
         inter, max_t, last_pen = _march(depth_packed, rows[:, 0:3],
                                         rows[:, 3:6], rows[:, 6])
         term = _soft_term(inter & comp3.slot_valid, max_t, last_pen)
-        return scatter_back(dense, comp3, term).reshape(h, w)
+        return scatter_back(dense, comp3, term).reshape(batch)
 
     def eval_dense(_):
         # Capacity-overflow fallback: full dense march (only the taken

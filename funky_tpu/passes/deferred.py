@@ -33,19 +33,22 @@ class GBuffer(NamedTuple):
     depth: jnp.ndarray      # (H, W) NDC depth from the raster
 
 
-def interpolate(tri_id: jnp.ndarray, depth: jnp.ndarray,
-                setup_data: jnp.ndarray, shade_blocks: jnp.ndarray,
-                tri_flags: jnp.ndarray, y0=0) -> GBuffer:
-    """Args:
-      tri_id: (H, W) int32 visibility buffer (-1 = empty).
-      depth: (H, W) f32 NDC depth.
+def interpolate_at(tri_id: jnp.ndarray, depth: jnp.ndarray,
+                   setup_data: jnp.ndarray, shade_blocks: jnp.ndarray,
+                   tri_flags: jnp.ndarray, px: jnp.ndarray,
+                   py: jnp.ndarray) -> GBuffer:
+    """Interpolation core on ANY batch shape with explicit pixel-center
+    coordinates (the blocked back half feeds flat compacted batches).
+
+    Args:
+      tri_id: (...,) int32 visibility buffer (-1 = empty).
+      depth: (...,) f32 NDC depth.
       setup_data: (T, 16) triangle setup rows (bary planes in [0:9]).
       shade_blocks: (T, 3, 12) packed corner attributes
         [world(3), normal(3), uv(2), color(3), inv_w(1)].
       tri_flags: (T,) int32.
-      y0: global framebuffer row of this slab's first row (row sharding).
+      px, py: (...,) f32 pixel centers in GLOBAL framebuffer coords.
     """
-    h, w = tri_id.shape
     valid = tri_id >= 0
     safe_id = jnp.maximum(tri_id, 0)
 
@@ -58,26 +61,22 @@ def interpolate(tri_id: jnp.ndarray, depth: jnp.ndarray,
         shade_blocks.reshape(t, 36),
         tri_flags[:, None].astype(jnp.float32),
     ], axis=-1)                                          # (T, 46)
-    rows = fused[safe_id]                                # (H, W, 46)
+    rows = fused[safe_id]                                # (..., 46)
     planes = rows[..., :9]
-    blocks = rows[..., 9:45].reshape(h, w, 3, 12)
+    blocks = rows[..., 9:45].reshape(rows.shape[:-1] + (3, 12))
     flags = rows[..., 45].astype(jnp.int32)
-
-    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    py = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
-          + jnp.asarray(y0, jnp.float32))
 
     b0 = planes[..., 0] * px + planes[..., 1] * py + planes[..., 2]
     b1 = planes[..., 3] * px + planes[..., 4] * py + planes[..., 5]
     b2 = planes[..., 6] * px + planes[..., 7] * py + planes[..., 8]
-    b = jnp.stack([b0, b1, b2], axis=-1)                 # (H, W, 3)
+    b = jnp.stack([b0, b1, b2], axis=-1)                 # (..., 3)
 
-    inv_w = blocks[..., 11]                              # (H, W, 3)
+    inv_w = blocks[..., 11]                              # (..., 3)
     pw = b * inv_w
     denom = jnp.sum(pw, axis=-1, keepdims=True)
     weights = pw / jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
 
-    attrs = jnp.einsum("hwk,hwkc->hwc", weights, blocks[..., :11])
+    attrs = jnp.einsum("...k,...kc->...c", weights, blocks[..., :11])
 
     return GBuffer(
         valid=valid,
@@ -88,3 +87,18 @@ def interpolate(tri_id: jnp.ndarray, depth: jnp.ndarray,
         flags=jnp.where(valid, flags, 0),
         depth=depth,
     )
+
+
+def interpolate(tri_id: jnp.ndarray, depth: jnp.ndarray,
+                setup_data: jnp.ndarray, shade_blocks: jnp.ndarray,
+                tri_flags: jnp.ndarray, y0=0) -> GBuffer:
+    """Full-slab interpolation: (H, W) visibility buffer, pixel centers
+    generated from the slab's global row offset y0 (row sharding)."""
+    h, w = tri_id.shape
+    px = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5, (h, w))
+    py = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+        + jnp.asarray(y0, jnp.float32), (h, w))
+    return interpolate_at(tri_id, depth, setup_data, shade_blocks,
+                          tri_flags, px, py)

@@ -96,13 +96,16 @@ def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray,
         return sample_bilinear_repeat_packed_layers(
             tex_packed, texture_sizes, layer, gbuf.uv)
 
-    h, w = gbuf.flags.shape
-    if (texture_block_capacity is not None and h % 8 == 0 and w % 8 == 0):
-        from ..ops.compact import (compact_blocks, gather_rows,
+    comp = None
+    if texture_block_capacity is not None:
+        from ..ops.compact import (compact_blocks_any, gather_rows,
                                    scatter_back)
 
-        n = h * w
-        comp = compact_blocks(use_texture, 8, 8, texture_block_capacity)
+        # 8x8 spatial blocks on 2D domains, 64-runs on the blocked back
+        # half's flat compacted domain.
+        comp = compact_blocks_any(use_texture, texture_block_capacity)
+    if comp is not None:
+        n = use_texture.size
 
         def sample_blocks(_):
             uv_e = gather_rows(gbuf.uv.reshape(n, 2), comp)
@@ -110,7 +113,7 @@ def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray,
             vals = sample_bilinear_repeat_packed_layers(
                 tex_packed, texture_sizes, layer_e, uv_e)
             return scatter_back(jnp.ones((n, 4), jnp.float32), comp,
-                                vals).reshape(h, w, 4)
+                                vals).reshape(use_texture.shape + (4,))
 
         tex = jax.lax.cond(comp.count <= texture_block_capacity,
                            sample_blocks, sample_dense, operand=None)

@@ -116,12 +116,13 @@ def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
     biased = world + normal * normal_bias[..., None]
 
     ones = jnp.ones(biased.shape[:-1] + (1,), jnp.float32)
-    hom = jnp.concatenate([biased, ones], axis=-1)        # (H, W, 4)
-    # (C, H, W, 4) clip coords through every cascade
-    clip_all = jnp.einsum("cij,hwj->chwi", uni.light_view_proj, hom)
+    hom = jnp.concatenate([biased, ones], axis=-1)        # (..., 4)
+    # (C, ..., 4) clip coords through every cascade
+    clip_all = jnp.einsum("cij,...j->c...i", uni.light_view_proj, hom)
     proj_all = clip_all[..., :3] / clip_all[..., 3:4]     # ortho: w == 1
-    sel = (cascade[None] == jnp.arange(
-        proj_all.shape[0], dtype=jnp.int32)[:, None, None])
+    n_casc = proj_all.shape[0]
+    sel = (cascade[None] == jnp.arange(n_casc, dtype=jnp.int32).reshape(
+        (n_casc,) + (1,) * cascade.ndim))
     proj = jnp.sum(jnp.where(sel[..., None], proj_all, 0.0), axis=0)
 
     uv = proj[..., :2] * 0.5 + 0.5
@@ -326,15 +327,15 @@ def _pair_classification(uni: FrameUniforms, cmaps, c0, c1, blend, world,
     """Project + classify both cascades and derive the exact-evaluation
     pair masks — shared by cascaded_shadow_sparse and classify_stats so
     the capacity-sizing diagnostic can never drift from the mask the
-    sparse path actually compacts.
+    sparse path actually compacts. Works on any domain shape (the blocked
+    back half passes flat block-major arrays).
 
     Returns (uv0, r0, inb0, lit0, um0, uv1, r1, inb1, lit1, um1,
     needs0, needs1)."""
     from ..ops.compact import gather_rows, scatter_back
     from .shadow_classify import classify as _classify
 
-    h, w = blend.shape
-    n = h * w
+    n = blend.size
 
     uv0, r0, inb0, lit0, um0 = _classified_project(
         uni, cmaps, c0, world, normal, n_dot_l, softness, use_pcss)
@@ -352,12 +353,11 @@ def _pair_classification(uni: FrameUniforms, cmaps, c0, c1, blend, world,
     def classify_c1_dense(_):
         return _classify(cmaps, c1, uv1, r1, softness, use_pcss)
 
-    if h % 8 == 0 and w % 8 == 0:
-        from ..ops.compact import compact_blocks
+    from ..ops.compact import compact_blocks_any
 
-        band_bcap = max((h // 8) * (w // 8) // 8, 128)
-        comp_band = compact_blocks(band_mask, 8, 8, band_bcap)
-
+    band_bcap = max((n // 64) // 8, 128)
+    comp_band = compact_blocks_any(band_mask, band_bcap)
+    if comp_band is not None:
         def classify_c1_blocks(_):
             uv_e = gather_rows(uv1.reshape(n, 2), comp_band)
             r_e = gather_rows(r1.reshape(n), comp_band)
@@ -368,7 +368,7 @@ def _pair_classification(uni: FrameUniforms, cmaps, c0, c1, blend, world,
                                lit_e & comp_band.slot_valid)
             um = scatter_back(jnp.zeros((n,), bool), comp_band,
                               um_e & comp_band.slot_valid)
-            return lit.reshape(h, w), um.reshape(h, w)
+            return lit.reshape(blend.shape), um.reshape(blend.shape)
 
         lit1, um1 = jax.lax.cond(comp_band.count <= band_bcap,
                                  classify_c1_blocks, classify_c1_dense,
@@ -438,11 +438,10 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     phi = shadow_frame_phi(screen_pos, uni.debug_flags[3], uni.debug_flags[2])
     softness = uni.shadow_bias[0]
 
-    h, w = c0.shape
-    n = h * w
+    n = c0.size
     cap = capacity if capacity is not None else max(n // 16, 256)
     if valid is None:
-        valid = jnp.ones((h, w), bool)
+        valid = jnp.ones(c0.shape, bool)
     blend = t > 0.0
 
     (uv0, r0, inb0, lit0, um0, uv1, r1, inb1, lit1, um1, needs0,
@@ -453,29 +452,37 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     # Dense closed-form results; penumbra placeholders are overwritten by
     # the scatter.
     def dense_base(inb, umbra):
-        one = jnp.ones((h, w), jnp.float32)
         m = jnp.where(umbra & inb, 0.0, 1.0)
         if use_pcss:
-            r = jnp.zeros((h, w), jnp.float32)        # lit radius == 0
+            r = jnp.zeros(c0.shape, jnp.float32)      # lit radius == 0
         else:
-            r = jnp.where(inb, pcf_frame_kernel(uni), 0.0)
-        return jnp.stack([m, m, m, r], axis=-1)       # (h, w, 4)
+            r = jnp.where(inb, pcf_frame_kernel(uni),
+                          jnp.zeros(c0.shape, jnp.float32))
+        return jnp.stack([m, m, m, r], axis=-1)       # (..., 4)
 
-    needs = jnp.stack([needs0, needs1])               # (2, h, w)
+    needs = jnp.stack([needs0, needs1])               # (2, ...)
     n_casc = shadow_maps.shape[0]
-    pair_layer = jnp.stack([c0, c1])                  # (2, h, w) int32
+    pair_layer = jnp.stack([c0, c1])                  # (2, ...) int32
     # Group the compacted pairs by cascade: each cascade's segment then
     # taps its OWN (S, S, 4) table (see cascade_caps in the docstring).
     # Penumbra pairs cluster along shadow edges, so the compaction runs
     # two-level where the shape allows (block grid argsort instead of the
-    # ~8 ms full-domain one).
+    # ~8 ms full-domain one): 8x8 spatial blocks on 2D domains, 64-runs
+    # on flat block-major ones (the blocked back half).
     # Two-level compaction only with a TUNED block budget: the default
     # would make the candidate domain ~the full domain and just add
     # overhead (measured: worse than the plain argsort).
     fits_blocks = jnp.ones((), bool)
-    if (block_capacity is not None and h % 8 == 0 and w % 8 == 0):
+    if block_capacity is not None and c0.ndim == 2 \
+            and c0.shape[0] % 8 == 0 and c0.shape[1] % 8 == 0:
         blocked = compact_indices_blocked(
             needs, cap, 8, 8, block_capacity, group_key=pair_layer)
+        comp = blocked.comp
+        fits_blocks = blocked.block_count <= block_capacity
+    elif block_capacity is not None and c0.ndim == 1 and n % 64 == 0:
+        blocked = compact_indices_blocked(
+            needs.reshape(2, n // 64, 64), cap, 1, 64, block_capacity,
+            group_key=pair_layer.reshape(2, n // 64, 64))
         comp = blocked.comp
         fits_blocks = blocked.block_count <= block_capacity
     else:
@@ -545,7 +552,7 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                           jnp.stack(sd1, axis=-1)]).reshape(2 * n, 4)
 
     out = jax.lax.cond(fits, eval_sparse, eval_dense, operand=None)
-    out = out.reshape(2, h, w, 4)
+    out = out.reshape((2,) + c0.shape + (4,))
     s0 = ShadowResult(out[0, ..., 0], out[0, ..., 1], out[0, ..., 2],
                       out[0, ..., 3])
     s1 = ShadowResult(out[1, ..., 0], out[1, ..., 1], out[1, ..., 2],

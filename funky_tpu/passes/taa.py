@@ -29,20 +29,39 @@ def init_history(height: int, width: int) -> jnp.ndarray:
 def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
                      uni: FrameUniforms, history: jnp.ndarray,
                      use_shadow_taa: bool, y0=0,
-                     full_height: int | None = None
+                     full_height: int | None = None,
+                     frag: jnp.ndarray | None = None,
+                     full_width: int | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (out_shadow (h, W), new_history (h, W, 2)) for a row slab
-    starting at global row y0. `history` is always the FULL-frame buffer
-    (reprojection can land anywhere on screen); outputs cover the slab."""
-    h, w = cur.v.shape
-    fh = full_height if full_height is not None else h
+    """Returns (out_shadow, new_history[..., 2]) matching cur.v's shape.
+    `history` is always the FULL-frame buffer (reprojection can land
+    anywhere on screen). Two input layouts:
+      - row slab (h, W) starting at global row y0 (frag=None);
+      - any batch shape with explicit `frag` pixel centers (x+0.5
+        convention) and `full_width` — the blocked back half's flat
+        compacted domain."""
     current = cur.v
+    if frag is None:
+        h, w = cur.v.shape
+        fh = full_height if full_height is not None else h
+        fw = w
+        frag_x = jnp.broadcast_to(
+            jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5, (h, w))
+        frag_y = jnp.broadcast_to(
+            jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+            + jnp.asarray(y0, jnp.float32), (h, w))
+    else:
+        assert full_height is not None and full_width is not None
+        fh = full_height
+        fw = full_width
+        frag_x = frag[..., 0]
+        frag_y = frag[..., 1]
 
     # Current NDC depth for next frame's disocclusion test
     # (gltf.frag:535-538).
     ones = jnp.ones(world.shape[:-1] + (1,), jnp.float32)
     hom = jnp.concatenate([world, ones], axis=-1)
-    cur_clip = jnp.einsum("ij,hwj->hwi", uni.view_proj, hom)
+    cur_clip = jnp.einsum("ij,...j->...i", uni.view_proj, hom)
     cur_ndc_depth = jnp.where(cur_clip[..., 3] != 0.0,
                               cur_clip[..., 2] / cur_clip[..., 3], 1.0)
     cur_ndc_depth = jnp.clip(cur_ndc_depth, 0.0, 1.0)
@@ -53,14 +72,10 @@ def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
 
     # gl_FragCoord.xy is already the pixel center (x+0.5); the reference
     # adds another 0.5 (gltf.frag:544) — reproduced.
-    frag_x = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    frag_y = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
-              + jnp.asarray(y0, jnp.float32))
     current_uv = jnp.stack(
-        [jnp.broadcast_to((frag_x + 0.5) / w, (h, w)),
-         jnp.broadcast_to((frag_y + 0.5) / fh, (h, w))], axis=-1)
+        [(frag_x + 0.5) / fw, (frag_y + 0.5) / fh], axis=-1)
 
-    prev_clip = jnp.einsum("ij,hwj->hwi", uni.prev_view_proj, hom)
+    prev_clip = jnp.einsum("ij,...j->...i", uni.prev_view_proj, hom)
     w_ok = prev_clip[..., 3] > 0.0
     prev_ndc = prev_clip[..., :3] / jnp.where(w_ok[..., None],
                                               prev_clip[..., 3:4], 1.0)

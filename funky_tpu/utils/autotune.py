@@ -1,0 +1,129 @@
+"""Automatic capacity tuning: first-frame diagnostics -> tightened config.
+
+Every sparse-evaluation capacity in GltfConfig (raster bins, penumbra
+pairs, contact stages, texture/valid blocks) trades padded-slot gather
+cost against an exact-but-slow overflow fallback. The right values are
+scene- and view-dependent, so they are MEASURED: render a couple of
+frames, read the occupancy diagnostics, and re-derive the config with
+headroom. Undersizing is never a correctness risk (every consumer
+lax.cond-falls back to its dense path) except raster bin capacity, which
+is therefore given a larger margin and verified against the true per-tile
+max.
+
+This replaces the hand-tuning ritual that used to live in bench.py: call
+`autotune_config(scene, params, cfg)` once at startup (FrameDriver does
+it with autotune=True), then re-jit with the returned config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(value: int, quantum: int) -> int:
+    return -(-int(value) // quantum) * quantum
+
+
+def tune_raster_capacities(scene, params, cfg):
+    """Per-tile bin occupancy for the main + shadow rasters -> tightened
+    RasterConfig capacities (the per-tile block DMA is capacity-sized, so
+    a loose bound is pure overhead; 1.5x headroom + verification against
+    the measured max keeps it safe)."""
+    from ..frame import compute_frame_uniforms, init_frame_state
+    from ..ops.binning import bin_stats
+    from ..passes.geometry import transform_vertices
+
+    @jax.jit
+    def occupancy(scene, params, st0):
+        uni = compute_frame_uniforms(params, st0, cfg)
+        world, clip, _ = transform_vertices(scene, uni.models,
+                                            uni.view_proj)
+        main = bin_stats(clip, scene.tri_indices, cfg.width, cfg.height,
+                         cfg.raster.tile_h, cfg.raster.tile_w,
+                         scene.num_triangles)["max"]
+        ones = jnp.ones((world.shape[0], 1), jnp.float32)
+        world_h = jnp.concatenate([world, ones], axis=-1)
+        sm = jnp.zeros((), jnp.int32)
+        for c in range(4):
+            clip_c = world_h @ uni.light_view_proj[c].T
+            sm = jnp.maximum(sm, bin_stats(
+                clip_c, scene.tri_indices, cfg.shadow_map_size,
+                cfg.shadow_map_size, cfg.shadow_raster.tile_h,
+                cfg.shadow_raster.tile_w, scene.num_triangles)["max"])
+        return main, sm
+
+    main_max, sm_max = map(int, occupancy(scene, params,
+                                          init_frame_state(cfg)))
+
+    def cap(max_count):
+        if max_count <= 0:
+            return None  # fall back to always-correct auto sizing
+        return min(_round_up(max_count * 1.5, 128),
+                   scene.tri_indices.shape[0])
+
+    return dataclasses.replace(
+        cfg,
+        raster=dataclasses.replace(cfg.raster, capacity=cap(main_max)),
+        shadow_raster=dataclasses.replace(cfg.shadow_raster,
+                                          capacity=cap(sm_max)))
+
+
+def tune_sparse_capacities(scene, params, cfg, frames: int = 2):
+    """Measured compaction occupancy -> tightened sparse capacities.
+    Padded slots pay real gather cost; occupancy drifts only a few %
+    frame-to-frame (IGN jitter), and overflow is an exact dense-fallback
+    frame, not an error."""
+    from .diagnostics import measure_sparse_occupancy
+
+    occ = measure_sparse_occupancy(scene, params, cfg, frames=frames)
+
+    def blocks128(count, headroom=1.3):
+        return max(_round_up(count * headroom, 128), 128)
+
+    def cap1k(count, headroom=1.3):
+        return max(_round_up(count * headroom, 1024), 1024)
+
+    return dataclasses.replace(
+        cfg,
+        shadow_pen_capacity=cap1k(occ["pairs"], 1.5),
+        shadow_pen_cascade_caps=tuple(
+            cap1k(c) for c in occ["pairs_per_cascade"]),
+        contact_capacity=cap1k(occ["contact_stage2"]),
+        contact_march_capacity=cap1k(occ["contact_march"]),
+        texture_block_capacity=blocks128(occ["texture_blocks"]),
+        shadow_pen_block_capacity=blocks128(occ["pair_blocks"]),
+        contact_block_capacity=blocks128(occ["contact_blocks"]),
+        valid_block_capacity=blocks128(occ["valid_blocks"], 1.2)), occ
+
+
+def autotune_config(scene, params, cfg, frames: int = 2, verbose=False):
+    """Full tuning pass: raster bins, then sparse/block capacities
+    (measured with the bin-tuned config). Any failure leaves the
+    corresponding capacities at their always-correct defaults."""
+    try:
+        cfg = tune_raster_capacities(scene, params, cfg)
+        if verbose:
+            print(f"# autotune: raster capacity {cfg.raster.capacity}, "
+                  f"shadow {cfg.shadow_raster.capacity}", file=sys.stderr)
+    except Exception as e:  # diagnostics must never break startup
+        if verbose:
+            print(f"# autotune raster failed ({e}); using defaults",
+                  file=sys.stderr)
+    try:
+        cfg, occ = tune_sparse_capacities(scene, params, cfg,
+                                          frames=frames)
+        if verbose:
+            print(f"# autotune: occupancy {occ} -> pen "
+                  f"{cfg.shadow_pen_capacity}, contact "
+                  f"{cfg.contact_capacity}/{cfg.contact_march_capacity}, "
+                  f"valid blocks {cfg.valid_block_capacity}",
+                  file=sys.stderr)
+    except Exception as e:
+        if verbose:
+            print(f"# autotune sparse failed ({e}); using defaults",
+                  file=sys.stderr)
+    return cfg

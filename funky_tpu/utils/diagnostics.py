@@ -104,6 +104,12 @@ def sparse_occupancy(scene, params, state, cfg):
         tex_mask[:hh // 8 * 8, :ww // 8 * 8].reshape(
             hh // 8, 8, ww // 8, 8).any(axis=(1, 3)))
 
+    # 8x8 screen blocks with ANY coverage — sizes
+    # GltfConfig.valid_block_capacity (the unified blocked back half)
+    stats["valid_blocks"] = jnp.sum(
+        g.valid[:hh // 8 * 8, :ww // 8 * 8].reshape(
+            hh // 8, 8, ww // 8, 8).any(axis=(1, 3)))
+
     uv, _, _, inb = shadow_filter._light_project(
         uni, c0, sub(g.world), sub(normal), sub(n_dot_l))
     sc = cfg.shadow_map_size // cfg.class_coarse

@@ -93,3 +93,75 @@ def test_render_ansi(viewer):
     lines = s.split("\n")
     assert all("▀" in ln for ln in lines)
     assert "\x1b[38;2;" in s
+
+
+def _cell_inside(viewer, fx0, fy0, fw, fh):
+    """Find a terminal cell whose pixel mapping lands inside the frame-space
+    rect — mirrors how a user aims the pointer at a widget."""
+    w, h = viewer.driver.cfg.width, viewer.driver.cfg.height
+    cols = min(viewer.cols, w)
+    rows = max(2, int(cols * (h / w) * 0.5) * 2)
+    for cy in range(1, rows + 1):
+        for cx in range(1, cols + 1):
+            px, py = viewer._cell_to_pixel(cx, cy)
+            if fx0 <= px <= fx0 + fw and fy0 <= py <= fy0 + fh:
+                return cx, cy
+    return None
+
+
+def test_mouse_click_toggles_checkbox(viewer):
+    """SGR-1006 left click routed through the egui hit test
+    (main.rs:475-486)."""
+    from funky_tpu.app.ui import PANEL_X, PANEL_Y
+
+    viewer.state.running = True
+    viewer.state.minimized = False
+    viewer.driver.ui_visible = True
+    viewer.step([])
+    viewer.driver.readback()                 # builds the panel hit boxes
+    bx, by, bw, bh = viewer.driver.ui._checkboxes["debug_cascades"]
+    cell = _cell_inside(viewer, bx + PANEL_X, by + PANEL_Y, bw, bh)
+    assert cell is not None, "no terminal cell maps inside the checkbox"
+    dc0 = viewer.driver.ui_data().debug_cascades
+    viewer.feed([f"\x1b[<0;{cell[0]};{cell[1]}M"])
+    assert viewer.driver.ui_data().debug_cascades != dc0
+    viewer.feed([f"\x1b[<0;{cell[0]};{cell[1]}M"])   # restore
+
+
+def test_mouse_scroll_zooms_fov(viewer):
+    """Wheel -> FOV zoom (main.rs:534-542): scroll up narrows by 0.1 rad,
+    release events ('m') are ignored."""
+    viewer.state.running = True
+    fov0 = viewer.driver.camera.fov
+    viewer.feed(["\x1b[<64;4;4M"])           # wheel up press
+    assert viewer.driver.camera.fov == pytest.approx(fov0 - 0.1)
+    viewer.feed(["\x1b[<64;4;4m"])           # release: no-op
+    assert viewer.driver.camera.fov == pytest.approx(fov0 - 0.1)
+    viewer.feed(["\x1b[<65;4;4M"])           # wheel down restores
+    assert viewer.driver.camera.fov == pytest.approx(fov0)
+
+
+def test_failed_frame_preserves_taa_history(viewer):
+    """One transient frame failure must NOT reset the carried FrameState
+    (the reference early-returns with GPU state intact, main.rs:601-613);
+    only escalation may."""
+    drv = viewer.driver
+    viewer.state.running = True
+    viewer.state.minimized = False
+    viewer.step([])
+    state_before = drv.state
+    real_fn = drv._frame_fn
+    calls = {"n": 0}
+
+    def failing_fn(scene, params, state):
+        calls["n"] += 1
+        raise RuntimeError("injected transient failure")
+
+    drv._frame_fn = failing_fn
+    out = drv.step([])
+    drv._frame_fn = real_fn
+    assert calls["n"] == 1
+    assert drv.consecutive_failures == 1
+    assert drv.state is state_before          # history survived untouched
+    drv.step([])                              # next frame recovers
+    assert drv.consecutive_failures == 0
