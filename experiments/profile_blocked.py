@@ -65,8 +65,11 @@ def main():
                   f"{(time.perf_counter() - t0) / n * 1e3:8.2f} ms",
                   flush=True)
         except Exception as e:
+            import traceback
+            detail = traceback.format_exc() if os.environ.get(
+                "PROFILE_TRACE") else str(e)[:160]
             print(f"{label:42s} FAILED: {type(e).__name__}: "
-                  f"{str(e)[:120]}", flush=True)
+                  f"{detail}", flush=True)
 
     gltf = GltfScene.load("/root/reference/models/scene.gltf")
     scene = build_device_scene(gltf)
@@ -117,6 +120,12 @@ def main():
 
     (uni, cmaps, shadow_maps, tri_id, depth, setup_data, blocks_m,
      tri_flags_m) = jax.block_until_ready(front(scene, params, state))
+    # the jit boundary turned ShadowClassMaps' static size/coarse/
+    # max_softness ints into device arrays — restore them
+    from funky_tpu.passes.shadow_classify import ShadowClassMaps
+    cmaps = ShadowClassMaps(cell_rows=cmaps.cell_rows, planes=cmaps.planes,
+                            size=cfg.shadow_map_size, coarse=cfg.class_coarse,
+                            max_softness=cfg.max_softness)
     h, w = cfg.height, cfg.width
     bcap = cfg.effective_valid_blocks(h, w)
     print(f"# bcap={bcap}")
@@ -130,8 +139,14 @@ def main():
         cfg, 0, cmaps, tri_flags_m, bcap), depth,
         label="shade_slab BLOCKED (whole)")
 
-    # blocked machinery alone
-    bc = jax.jit(lambda t: compact_valid_blocks(t >= 0, 8, 8, bcap))(tri_id)
+    # blocked machinery alone (jit only the array fields: a jitted return
+    # of the NamedTuple would turn the static gh/gw/bh/bw ints into device
+    # arrays and break later reshapes)
+    from funky_tpu.ops.compact import BlockCompaction, Compacted
+    _cb = jax.jit(lambda t: compact_valid_blocks(
+        t >= 0, 8, 8, bcap).comp_b)(tri_id)
+    bc = BlockCompaction(comp_b=Compacted(*_cb), gh=h // 8, gw=w // 8,
+                         bh=8, bw=8)
 
     def compaction_only(d):
         return compact_valid_blocks((d + tri_id.astype(jnp.float32)) > -1e9,

@@ -142,5 +142,9 @@ def test_block_sparse_texture_matches_dense(tmp_path):
     dense = run(dataclasses.replace(base, texture_block_capacity=0))
     auto = run(base)
     tiny = run(dataclasses.replace(base, texture_block_capacity=2))
-    np.testing.assert_array_equal(auto, dense)
-    np.testing.assert_array_equal(tiny, dense)
+    # The three configs are separately-compiled programs: XLA/LLVM's
+    # contextual fp codegen makes the tiny uniform math drift by ~1 ulp
+    # between them (see frame.compute_frame_uniforms), which is not what
+    # this test is about. A wrong texel/layer would differ by >1e-3.
+    np.testing.assert_allclose(auto, dense, atol=1e-6)
+    np.testing.assert_allclose(tiny, dense, atol=1e-6)
