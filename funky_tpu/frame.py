@@ -202,6 +202,13 @@ class GltfConfig:
     # per-cascade pair capacities (4-tuple) — lets each cascade's taps
     # gather from its own small table; None = shadow_pen_capacity each.
     shadow_pen_cascade_caps: tuple | None = None
+    # per-cascade tap-window sizes (4-tuple of texels, 0 = full table):
+    # penumbra taps cluster in a small uv region, so each cascade's taps
+    # gather from a dynamic-sliced (Wc, Wc, 4) sub-table — under the
+    # ~2.5 MB cliff (Wc <= 384) the serial gather runs ~3-4x faster
+    # (PERF.md). Bit-identical values; frames whose taps don't fit fall
+    # back to the full table per cascade (lax.cond). None = off.
+    shadow_tap_windows: tuple | None = None
     # two-level compaction block budgets (8x8 candidate blocks); tune
     # from measured block occupancy (diagnostics) — the candidate-domain
     # size drives the second sort + mask gathers. None = plain
@@ -238,6 +245,17 @@ class GltfConfig:
     # blocks); 0 = dense back half. Overflow falls back to the dense
     # back half via lax.cond (exact either way).
     valid_block_capacity: int | None = None
+    # Valid-ROW-slab back half: geometry coverage is a contiguous row band
+    # [horizon, bottom] in practice, so the whole per-pixel back half can
+    # run on a dynamic_slice'd row slab instead of the full frame — the
+    # same sky-skipping as the valid-block compaction but with ~1 ms of
+    # slicing instead of ~14 ms of sort/gather/scatter relayouts
+    # (measured; see PERF.md round 3). Value = static slab height in
+    # rows; None = auto (disabled — autotune measures the real span);
+    # 0 = disabled. A taller-than-slab valid span falls back to the dense
+    # full-height path via lax.cond (exact either way). Takes precedence
+    # over valid_block_capacity.
+    valid_slab_rows: int | None = None
 
     @property
     def effective_texture_blocks(self) -> int | None:
@@ -258,6 +276,14 @@ class GltfConfig:
         if self.valid_block_capacity is not None:
             return min(self.valid_block_capacity, nb)
         return min(max(-(-nb * 3 // 4 // 128) * 128, 128), nb)
+
+    def effective_slab_rows(self, h: int) -> int | None:
+        """Row-slab height for an h-row domain; None = row slab disabled
+        (unset, explicit 0, or no saving at this height)."""
+        if not self.valid_slab_rows:
+            return None
+        rows = min(-(-self.valid_slab_rows // 8) * 8, h)
+        return rows if rows < h else None
 
     @property
     def aspect(self) -> float:
@@ -393,6 +419,11 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
     if tri_flags is None:
         tri_flags = scene.tri_flags
     h, w = tri_id.shape
+    srows = cfg.effective_slab_rows(h)
+    if srows is not None and flags.effective_shadow_scale == 1:
+        return _shade_slab_rows(scene, uni, state, shadow_maps, tri_id,
+                                depth, setup_data, blocks, cfg, y0,
+                                class_maps, tri_flags, srows)
     bcap = cfg.effective_valid_blocks(h, w)
     if bcap is not None and flags.effective_shadow_scale == 1:
         return _shade_slab_blocked(scene, uni, state, shadow_maps, tri_id,
@@ -426,7 +457,7 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                 uni, shadow_maps, class_maps, gbuf.world, normal, n_dot_l,
                 view_depth, frag, flags.use_pcss, gbuf.valid,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
-                cfg.shadow_pen_block_capacity)
+                cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows)
         else:
             sres, c0, c1, ct = shadow_filter.cascaded_shadow(
                 uni, shadow_maps, gbuf.world, normal, n_dot_l, view_depth,
@@ -471,6 +502,51 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                                   shadow_term, background,
                                   cfg.effective_texture_blocks)
     return rgba, new_history
+
+
+def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
+                     shadow_maps, tri_id, depth, setup_data, blocks,
+                     cfg: GltfConfig, y0, class_maps, tri_flags,
+                     slab_h: int):
+    """Valid-ROW-slab back half: geometry coverage is (in practice) one
+    contiguous row band [horizon, bottom], so the whole dense back half
+    runs on a dynamic_slice'd (slab_h, W) slab at the first covered row —
+    the GPU-analogy is the same as the valid-block path (fragments only
+    launch where the raster emitted them, gltf.frag:1-656), but the
+    domain shrink costs two slices + two dynamic_update_slices instead of
+    a sort + block gather/scatter relayouts (~1 ms vs ~14 ms measured at
+    1080p). Rows outside the slab keep the clear color and carried
+    history. A valid span taller than slab_h lax.cond-falls back to the
+    full-height dense path (exact either way)."""
+    h, w = tri_id.shape
+    row_any = jnp.any(tri_id >= 0, axis=1)
+    any_valid = jnp.any(row_any)
+    y_lo = jnp.argmax(row_any).astype(jnp.int32)
+    y_hi = (h - jnp.argmax(row_any[::-1])).astype(jnp.int32)
+    fits = jnp.where(any_valid, y_hi - y_lo, 0) <= slab_h
+    y0d = jnp.clip(jnp.where(any_valid, y_lo, 0), 0, h - slab_h)
+    y0_arr = jnp.asarray(y0, jnp.int32)
+
+    def slab(_):
+        tri_s = jax.lax.dynamic_slice(tri_id, (y0d, 0), (slab_h, w))
+        dep_s = jax.lax.dynamic_slice(depth, (y0d, 0), (slab_h, w))
+        rgba_s, hist_s = _shade_slab_dense(
+            scene, uni, state, shadow_maps, tri_s, dep_s, setup_data,
+            blocks, cfg, y0_arr + y0d, class_maps, tri_flags)
+        background = jnp.asarray(GLTF_CLEAR + (1.0,), jnp.float32)
+        rgba = jax.lax.dynamic_update_slice(
+            jnp.broadcast_to(background, (h, w, 4)), rgba_s, (y0d, 0, 0))
+        old_slab = jax.lax.dynamic_slice(state.shadow_history,
+                                         (y0_arr, 0, 0), (h, w, 2))
+        hist = jax.lax.dynamic_update_slice(old_slab, hist_s, (y0d, 0, 0))
+        return rgba, hist
+
+    def dense(_):
+        return _shade_slab_dense(scene, uni, state, shadow_maps, tri_id,
+                                 depth, setup_data, blocks, cfg, y0,
+                                 class_maps, tri_flags)
+
+    return jax.lax.cond(fits, slab, dense, operand=None)
 
 
 def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
@@ -572,7 +648,7 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                 uni, shadow_maps, class_maps, world_s, normal_s, ndl_s,
                 vdepth_s, frag_s, flags.use_pcss, valid_s,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
-                cfg.shadow_pen_block_capacity)
+                cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows)
         return shadow_filter.cascaded_shadow(
             uni, shadow_maps, world_s, normal_s, ndl_s, vdepth_s, frag_s,
             flags.use_pcss)

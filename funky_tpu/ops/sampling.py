@@ -327,6 +327,78 @@ def sample_nearest_border_packed(packed_maps: jnp.ndarray,
     return jnp.where(inb, nearest, border)
 
 
+# ---------------------------------------------------------------------------
+# Windowed variants: identical math to the full-table packed samplers, but
+# the row fetch is rebased into a (Wh, Ww, 4) window dynamic-sliced from
+# one cascade's (S, S, 4) quad-packed table at an integer `origin`.
+# Rationale: XLA's serial TPU gather costs ~12 ns/row on the 64 MB packed
+# cascade tables but ~3-4 ns/row once the table is under the ~2.5 MB
+# cliff (PERF.md "gather LAWS" #1); penumbra taps cluster in a small uv
+# region each frame, so a per-frame window slice turns every shadow tap
+# into a cheap small-table gather. All texel/fraction arithmetic runs in
+# GLOBAL coordinates through the exact same ops as the full-table
+# samplers — only the integer row index is offset — so results are
+# BIT-IDENTICAL for taps whose clamped quad base lies inside the window
+# (callers certify that; out-of-window fetches clamp to the window edge
+# and are only ever produced by discarded padding slots).
+# ---------------------------------------------------------------------------
+
+def _window_fetch(window: jnp.ndarray, origin, cy: jnp.ndarray,
+                  cx: jnp.ndarray) -> jnp.ndarray:
+    wh, ww, _ = window.shape
+    ly = jnp.clip(cy - origin[0], 0, wh - 1)
+    lx = jnp.clip(cx - origin[1], 0, ww - 1)
+    return window.reshape(wh * ww, 4)[ly * ww + lx]
+
+
+def sample_shadow_compare_window(window: jnp.ndarray, origin,
+                                 full_size: int, uv: jnp.ndarray,
+                                 ref_depth: jnp.ndarray) -> jnp.ndarray:
+    """sample_shadow_compare_packed for a single-cascade window (border =
+    white/lit outside the FULL map, exactly as the full sampler)."""
+    s = full_size
+    cy, cx, fy, fx, inside, x_ok, y_ok = _quad_tap_setup((s, s), uv)
+    quad = _window_fetch(window, origin, cy, cx)
+    c00, c10, c01, c11 = _quad_corners(quad, x_ok, y_ok)
+
+    def cmp(d, inb):
+        return jnp.where(inb, (ref_depth <= d).astype(jnp.float32), 1.0)
+
+    t00 = cmp(c00, inside[0])
+    t10 = cmp(c10, inside[1])
+    t01 = cmp(c01, inside[2])
+    t11 = cmp(c11, inside[3])
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_nearest_border_window(window: jnp.ndarray, origin,
+                                 full_size: int, uv: jnp.ndarray,
+                                 border: float = 1.0) -> jnp.ndarray:
+    """sample_nearest_border_packed for a single-cascade window."""
+    s = full_size
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    cx = jnp.clip(x0, 0, s - 1)
+    cy = jnp.clip(y0, 0, s - 1)
+    quad = _window_fetch(window, origin, cy, cx)
+    c00, c10, c01, c11 = _quad_corners(quad, x0 >= 0, y0 >= 0)
+
+    nxi = jnp.floor(uv[..., 0] * s).astype(jnp.int32)
+    nyi = jnp.floor(uv[..., 1] * s).astype(jnp.int32)
+    inb = (nxi >= 0) & (nxi < s) & (nyi >= 0) & (nyi < s)
+    nx = jnp.clip(jnp.clip(nxi, 0, s - 1) - cx, 0, 1)
+    ny = jnp.clip(jnp.clip(nyi, 0, s - 1) - cy, 0, 1)
+    nearest = jnp.where(
+        ny == 0,
+        jnp.where(nx == 0, c00, c10),
+        jnp.where(nx == 0, c01, c11))
+    return jnp.where(inb, nearest, border)
+
+
 def sample_depth_dual_packed(packed: jnp.ndarray, uv: jnp.ndarray):
     """Contact-shadow dual read (bilinear + nearest of the same depth
     buffer, gltf.frag:150-169) from ONE quad-packed row gather.

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import (sample_nearest_border_packed,
-                            sample_shadow_compare_packed)
+                            sample_nearest_border_window,
+                            sample_shadow_compare_packed,
+                            sample_shadow_compare_window)
 from .uniforms import FrameUniforms
 
 BLOCKER_SAMPLES = 16   # gltf.frag:373
@@ -138,12 +140,15 @@ def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
 
 def _pcss_taps(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                layer: jnp.ndarray, uv: jnp.ndarray, receiver: jnp.ndarray,
-               phi: jnp.ndarray):
+               phi: jnp.ndarray, window=None):
     """The PCSS tap core (gltf.frag:366-449) on arbitrary batch shapes:
     blocker search + penumbra estimate + penumbra-radius PCF.
 
-    receiver is already biased (gltf.frag:410). Returns
-    (m1, m2, penumbra, has_blockers)."""
+    receiver is already biased (gltf.frag:410). `window` optionally
+    rebases all taps into a dynamic-sliced sub-table of ONE cascade:
+    (rows (Wc, Wc, 4), origin (2,) int32 (oy, ox), full map size S) —
+    bit-identical values, small-table gather speed (ops/sampling.py).
+    Returns (m1, m2, penumbra, has_blockers)."""
     texel = uni.shadow_map_size[2]
     light_size_texels = uni.shadow_bias[0] * 2.0          # gltf.frag:415
 
@@ -152,8 +157,12 @@ def _pcss_taps(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     # taps ride ONE batched gather (see vogel_disk_all).
     dx, dy = vogel_disk_all(BLOCKER_SAMPLES, phi)
     off = jnp.stack([dx, dy], axis=-1) * (light_size_texels * texel)
-    d = sample_nearest_border_packed(shadow_maps, layer[None],
-                                     uv[None] + off, border=1.0)
+    if window is not None:
+        d = sample_nearest_border_window(window[0], window[1], window[2],
+                                         uv[None] + off, border=1.0)
+    else:
+        d = sample_nearest_border_packed(shadow_maps, layer[None],
+                                         uv[None] + off, border=1.0)
     hit = d < receiver[None]
     blocker_sum = jnp.sum(jnp.where(hit, d, 0.0), axis=0)
     blocker_cnt = jnp.sum(hit.astype(jnp.float32), axis=0)
@@ -171,8 +180,12 @@ def _pcss_taps(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     # one batched gather for all 16 taps.
     dx, dy = vogel_disk_all(PCF_SAMPLES, phi)
     off = jnp.stack([dx, dy], axis=-1) * (penumbra * texel)[None, ..., None]
-    s = sample_shadow_compare_packed(shadow_maps, layer[None],
-                                     uv[None] + off, receiver[None])
+    if window is not None:
+        s = sample_shadow_compare_window(window[0], window[1], window[2],
+                                         uv[None] + off, receiver[None])
+    else:
+        s = sample_shadow_compare_packed(shadow_maps, layer[None],
+                                         uv[None] + off, receiver[None])
     s_sum = jnp.sum(s, axis=0)
     s_sum2 = jnp.sum(s * s, axis=0)
 
@@ -207,27 +220,33 @@ def shadow_pcss(uni: FrameUniforms, shadow_maps: jnp.ndarray,
 
 def _pcf_taps(uni: FrameUniforms, shadow_maps: jnp.ndarray,
               layer: jnp.ndarray, uv: jnp.ndarray, ref: jnp.ndarray,
-              phi: jnp.ndarray):
+              phi: jnp.ndarray, window=None):
     """Fixed-radius PCF tap core (gltf.frag:453-507) on arbitrary batch
-    shapes; ref is already biased. Returns (m1, m2, kernel)."""
+    shapes; ref is already biased. `window` as in _pcss_taps. Returns
+    (m1, m2, kernel)."""
     texel = uni.shadow_map_size[2]
     radius = jnp.maximum(uni.shadow_bias[0], 0.5)
+
+    def compare(off):
+        if window is not None:
+            return sample_shadow_compare_window(
+                window[0], window[1], window[2], uv[None] + off, ref[None])
+        return sample_shadow_compare_packed(shadow_maps, layer[None],
+                                            uv[None] + off, ref[None])
 
     # Both paths issue all taps as ONE batched gather (vogel_disk_all).
     def taps_3x3(_):
         offs = jnp.asarray([[dx, dy] for dy in (-1, 0, 1)
                             for dx in (-1, 0, 1)], jnp.float32) * texel
         off = offs.reshape((9,) + (1,) * ref.ndim + (2,))
-        s = sample_shadow_compare_packed(shadow_maps, layer[None],
-                                         uv[None] + off, ref[None])
+        s = compare(off)
         return (jnp.sum(s, axis=0) / 9.0, jnp.sum(s * s, axis=0) / 9.0,
                 jnp.ones_like(ref))
 
     def taps_vogel(_):
         dx, dy = vogel_disk_all(PCF_SAMPLES, phi)
         off = jnp.stack([dx, dy], axis=-1) * (radius * texel)
-        s = sample_shadow_compare_packed(shadow_maps, layer[None],
-                                         uv[None] + off, ref[None])
+        s = compare(off)
         return (jnp.sum(s, axis=0) / PCF_SAMPLES,
                 jnp.sum(s * s, axis=0) / PCF_SAMPLES,
                 jnp.full_like(ref, radius))
@@ -412,7 +431,8 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                            valid: jnp.ndarray | None = None,
                            capacity: int | None = None,
                            cascade_caps: tuple | None = None,
-                           block_capacity: int | None = None):
+                           block_capacity: int | None = None,
+                           tap_windows: tuple | None = None):
     """Sparse-exact main shadow evaluation: identical outputs to
     `cascaded_shadow` — bit-exact while the compaction capacities hold,
     and on overflow lax.cond falls back to the full dense evaluation
@@ -429,6 +449,13 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         from its OWN (S, S, 4) table — a 4M-row 16 B-row table gathers
         ~40% faster than the fused 16M-row one (PERF.md). None = each
         cascade sized at `capacity` (correct, more padded slots).
+      tap_windows: static per-cascade window sizes (4-tuple of texels;
+        0 = full table for that cascade). Penumbra taps cluster in a
+        small uv region, so each cascade's taps can gather from a
+        dynamic-sliced (Wc, Wc, 4) sub-table — under the ~2.5 MB gather
+        cliff at Wc <= 384 the serial gather runs ~3-4x faster
+        (PERF.md). Bit-identical values; a frame whose taps don't fit
+        the window lax.cond-falls back to the full table per cascade.
     """
     from ..ops.compact import (Compacted, compact_indices,
                                compact_indices_blocked, gather_rows,
@@ -509,6 +536,41 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         idx_pad = jnp.concatenate(
             [comp.idx, jnp.full((max(caps_c),), -1, jnp.int32)])
 
+        # Per-cascade tap windows (see the docstring): bounding box of
+        # the needed base texels + the tap-radius bound. The radius bound
+        # is TRACED (blocker search <= 2*softness, penumbra PCF <=
+        # 4*softness, fixed PCF <= max(softness, 1)), so the window-fit
+        # certificate covers any softness — an oversized radius just
+        # fails the extent check and takes the full-table branch.
+        s_full = shadow_maps.shape[1]
+        win_boxes = None
+        if tap_windows is not None:
+            pad = jnp.ceil(4.0 * jnp.maximum(softness, 1.0)).astype(
+                jnp.int32) + 2
+            big = jnp.int32(1 << 28)
+            uvp = jnp.stack([uv0, uv1]).reshape(2 * n, 2)
+            bx = jnp.floor(uvp[:, 0] * s_full - 0.5).astype(jnp.int32)
+            by = jnp.floor(uvp[:, 1] * s_full - 0.5).astype(jnp.int32)
+            needs_f = needs.reshape(2 * n)
+            layer_f = pair_layer.reshape(2 * n)
+            win_boxes = []
+            for c in range(n_casc):
+                wc = int(tap_windows[c]) if tap_windows[c] else 0
+                if wc <= 0 or wc >= s_full:
+                    win_boxes.append(None)
+                    continue
+                m = needs_f & (layer_f == c)
+                lo_x = jnp.min(jnp.where(m, bx, big)) - pad
+                hi_x = jnp.max(jnp.where(m, bx, -big)) + pad + 1
+                lo_y = jnp.min(jnp.where(m, by, big)) - pad
+                hi_y = jnp.max(jnp.where(m, by, -big)) + pad + 1
+                fits_w = ((hi_x - lo_x) < wc) & ((hi_y - lo_y) < wc)
+                oy = jnp.clip(lo_y, 0, s_full - wc)
+                ox = jnp.clip(lo_x, 0, s_full - wc)
+                win = jax.lax.dynamic_slice(
+                    shadow_maps, (c, oy, ox, 0), (1, wc, wc, 4))[0]
+                win_boxes.append((win, (oy, ox), fits_w))
+
         for c in range(n_casc):
             cc = caps_c[c]
             slot = jnp.arange(cc, dtype=jnp.int32)
@@ -523,21 +585,33 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
             maps_c = shadow_maps[c:c + 1]
             layer0 = jnp.zeros((cc,), jnp.int32)
 
-            if use_pcss:
-                m1, m2, pen, hasb = _pcss_taps(uni, maps_c, layer0, uv_e,
-                                               recv_e, phi_e)
-                one = jnp.ones_like(m1)
-                # Entries are in-bounds by construction; the no-blocker
-                # lit override still applies (classification is
-                # conservative).
-                vals = jnp.stack([jnp.where(hasb, m1, one),
-                                  jnp.where(hasb, m1, one),
-                                  jnp.where(hasb, m2, one),
-                                  jnp.where(hasb, pen, 0.0)], axis=-1)
-            else:
+            def taps(window, c=c, uv_e=uv_e, recv_e=recv_e, phi_e=phi_e,
+                     maps_c=maps_c, layer0=layer0):
+                if use_pcss:
+                    m1, m2, pen, hasb = _pcss_taps(uni, maps_c, layer0,
+                                                   uv_e, recv_e, phi_e,
+                                                   window=window)
+                    one = jnp.ones_like(m1)
+                    # Entries are in-bounds by construction; the
+                    # no-blocker lit override still applies
+                    # (classification is conservative).
+                    return jnp.stack([jnp.where(hasb, m1, one),
+                                      jnp.where(hasb, m1, one),
+                                      jnp.where(hasb, m2, one),
+                                      jnp.where(hasb, pen, 0.0)], axis=-1)
                 m1, m2, kern = _pcf_taps(uni, maps_c, layer0, uv_e,
-                                         recv_e, phi_e)
-                vals = jnp.stack([m1, m1, m2, kern], axis=-1)
+                                         recv_e, phi_e, window=window)
+                return jnp.stack([m1, m1, m2, kern], axis=-1)
+
+            if win_boxes is not None and win_boxes[c] is not None:
+                win, orig, fits_w = win_boxes[c]
+                vals = jax.lax.cond(
+                    fits_w,
+                    lambda _, win=win, orig=orig: taps(
+                        (win, orig, s_full)),
+                    lambda _: taps(None), operand=None)
+            else:
+                vals = taps(None)
             dense = scatter_back(dense, compc, vals)
         return dense
 
@@ -572,17 +646,37 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
     if valid is None:
         valid = jnp.ones(c0.shape, bool)
     blend = t > 0.0
-    (_, _, _, lit0, um0, _, _, _, _, _, needs0,
+    (uv0, _, _, lit0, um0, uv1, _, _, _, _, needs0,
      needs1) = _pair_classification(uni, cmaps, c0, c1, blend, world,
                                     normal, n_dot_l, softness, use_pcss,
                                     valid)
     needs = jnp.stack([needs0, needs1])
     pair_layer = jnp.stack([c0, c1])
+
+    # Per-cascade base-texel bounding-box extents of the needed taps —
+    # sizes GltfConfig.shadow_tap_windows (add the tap-radius padding
+    # outside; see cascaded_shadow_sparse).
+    s_full = cmaps.size
+    uvp = jnp.stack([uv0, uv1])
+    bx = jnp.floor(uvp[..., 0] * s_full - 0.5).astype(jnp.int32)
+    by = jnp.floor(uvp[..., 1] * s_full - 0.5).astype(jnp.int32)
+    big = jnp.int32(1 << 28)
+    extents = []
+    for c in range(4):
+        m = needs & (pair_layer == c)
+        ex = (jnp.max(jnp.where(m, bx, -big)) -
+              jnp.min(jnp.where(m, bx, big)) + 1)
+        ey = (jnp.max(jnp.where(m, by, -big)) -
+              jnp.min(jnp.where(m, by, big)) + 1)
+        has = jnp.any(m)
+        extents.append(jnp.where(has, jnp.maximum(ex, ey), 0))
+
     return {
         "_needs": needs,   # raw mask (private: block-occupancy diagnostics)
         "pairs": jnp.sum(needs0) + jnp.sum(needs1),
         "pairs_per_cascade": jnp.stack(
             [jnp.sum(needs & (pair_layer == c)) for c in range(4)]),
+        "tap_extent_per_cascade": jnp.stack(extents),
         "lit0": jnp.sum(valid & lit0),
         "umbra0": jnp.sum(valid & um0),
         "pixels": jnp.sum(valid),

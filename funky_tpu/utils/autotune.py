@@ -87,17 +87,45 @@ def tune_sparse_capacities(scene, params, cfg, frames: int = 2):
     def cap1k(count, headroom=1.3):
         return max(_round_up(count * headroom, 1024), 1024)
 
+    # Row-slab vs valid-block back half: the slab wins whenever the
+    # covered rows are one contiguous band (measured span ~= the true
+    # cover) — ~1 ms of slicing vs ~14 ms of compaction relayouts. Keep
+    # the block path only when the row band is much looser than the
+    # block cover (sparse mid-screen geometry).
+    # Tap windows: bbox extent + traced-radius padding (4*max_softness)
+    # + jitter margin, rounded to 64; above 384 the sub-table would cross
+    # the ~2.5 MB gather cliff and stops paying — keep the full table.
+    pad = 2 * (4 * cfg.max_softness + 3)
+
+    def window(extent):
+        if extent <= 0:
+            return 64  # cascade had no pairs this view: smallest window
+        w = _round_up(extent + pad + 32, 64)
+        return w if w <= 384 else 0
+
+    tap_windows = tuple(window(e)
+                        for e in occ["tap_extent_per_cascade"])
+
+    span_rows = _round_up(min(occ["valid_row_span"] * 1.1 + 8,
+                              cfg.height), 8)
+    slab_px = span_rows * cfg.width
+    block_px = blocks128(occ["valid_blocks"], 1.2) * 64
+    use_slab = span_rows < cfg.height and slab_px <= 2 * block_px
+
     return dataclasses.replace(
         cfg,
         shadow_pen_capacity=cap1k(occ["pairs"], 1.5),
         shadow_pen_cascade_caps=tuple(
             cap1k(c) for c in occ["pairs_per_cascade"]),
+        shadow_tap_windows=tap_windows,
         contact_capacity=cap1k(occ["contact_stage2"]),
         contact_march_capacity=cap1k(occ["contact_march"]),
         texture_block_capacity=blocks128(occ["texture_blocks"]),
         shadow_pen_block_capacity=blocks128(occ["pair_blocks"]),
         contact_block_capacity=blocks128(occ["contact_blocks"]),
-        valid_block_capacity=blocks128(occ["valid_blocks"], 1.2)), occ
+        valid_slab_rows=span_rows if use_slab else 0,
+        valid_block_capacity=(0 if use_slab else
+                              blocks128(occ["valid_blocks"], 1.2))), occ
 
 
 def autotune_config(scene, params, cfg, frames: int = 2, verbose=False):
@@ -120,7 +148,9 @@ def autotune_config(scene, params, cfg, frames: int = 2, verbose=False):
             print(f"# autotune: occupancy {occ} -> pen "
                   f"{cfg.shadow_pen_capacity}, contact "
                   f"{cfg.contact_capacity}/{cfg.contact_march_capacity}, "
-                  f"valid blocks {cfg.valid_block_capacity}",
+                  f"slab rows {cfg.valid_slab_rows}, "
+                  f"valid blocks {cfg.valid_block_capacity}, "
+                  f"tap windows {cfg.shadow_tap_windows}",
                   file=sys.stderr)
     except Exception as e:
         if verbose:

@@ -110,6 +110,14 @@ def sparse_occupancy(scene, params, state, cfg):
         g.valid[:hh // 8 * 8, :ww // 8 * 8].reshape(
             hh // 8, 8, ww // 8, 8).any(axis=(1, 3)))
 
+    # Covered row span [first, last] — sizes GltfConfig.valid_slab_rows
+    # (the row-slab back half)
+    row_any = jnp.any(g.valid, axis=1)
+    stats["valid_row_span"] = jnp.where(
+        jnp.any(row_any),
+        g.valid.shape[0] - jnp.argmax(row_any[::-1]) - jnp.argmax(row_any),
+        0)
+
     uv, _, _, inb = shadow_filter._light_project(
         uni, c0, sub(g.world), sub(normal), sub(n_dot_l))
     sc = cfg.shadow_map_size // cfg.class_coarse

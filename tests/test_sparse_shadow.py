@@ -368,3 +368,29 @@ def test_contact_fit_ground_plane_reproduces_depth():
     py = (ndc[:, 1] + 1) * 0.5 * h
     pred = plane[0] * px + plane[1] * py + plane[2]
     np.testing.assert_allclose(pred, ndc[:, 2], atol=5e-5)
+
+
+def test_tap_windows_match_full_table(duck_setup):
+    """Windowed per-cascade tap tables (dynamic-sliced sub-tables) read the
+    exact same texels as the full-table path: images match."""
+    scene, cfg, params = duck_setup
+    base = dataclasses.replace(cfg, shadow_pen_capacity=256 * 144)
+    win = dataclasses.replace(base,
+                              shadow_tap_windows=(192, 192, 192, 192))
+    img_w, st_w = _run(scene, win, params)
+    img_f, st_f = _run(scene, base, params)
+    np.testing.assert_allclose(img_w, img_f, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_w.shadow_history),
+                               np.asarray(st_f.shadow_history), atol=1e-6)
+
+
+def test_tap_window_overflow_falls_back_exact(duck_setup):
+    """Taps that do not fit a (deliberately tiny) window take the
+    full-table branch per cascade: the image never depends on the window
+    size."""
+    scene, cfg, params = duck_setup
+    base = dataclasses.replace(cfg, shadow_pen_capacity=256 * 144)
+    tiny = dataclasses.replace(base, shadow_tap_windows=(8, 8, 8, 8))
+    img_t, _ = _run(scene, tiny, params)
+    img_f, _ = _run(scene, base, params)
+    np.testing.assert_allclose(img_t, img_f, atol=1e-6)
