@@ -29,7 +29,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .png_io import decode_png
+from .jpeg_io import decode_image
 
 _COMPONENT_DTYPES = {
     5120: np.int8, 5121: np.uint8, 5122: np.int16,
@@ -202,7 +202,7 @@ def _load_scene(doc: dict, blob: Optional[bytes], base_dir: Path) -> GltfScene:
             view = doc["bufferViews"][img["bufferView"]]
             off = view.get("byteOffset", 0)
             data = buffers[view["buffer"]][off:off + view["byteLength"]]
-        rgba = decode_png(bytes(data))
+        rgba = decode_image(bytes(data))
         images.append(GltfTexture(rgba.shape[1], rgba.shape[0], rgba))
 
     # glTF textures reference images via "source"; resolve so material

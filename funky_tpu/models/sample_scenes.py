@@ -150,3 +150,72 @@ def build_multimesh_glb(path, two_textures: bool = False):
     glb.write(struct.pack("<II", len(binv), 0x004E4942) + binv)
     path.write_bytes(glb.getvalue())
     return path
+
+
+def build_textured_quad_glb(path, image_bytes: bytes,
+                            mime: str = "image/jpeg"):
+    """Write a GLB with one textured ground quad whose texture is the given
+    embedded image bytes (any format decode_image handles). Exercises the
+    reference's embedded-image path with non-PNG payloads
+    (gltf_loader.rs:107-116 `load_from_memory` via the `image` crate).
+    Returns `path`."""
+    quad = np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]],
+                    np.float32)
+    quad_uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    quad_idx = np.array([0, 1, 2, 2, 3, 0], np.uint16)
+
+    blobs = []
+    views = []
+    accessors = []
+
+    def add(data, target, count, ctype, atype, vmin=None, vmax=None):
+        offset = sum(len(b) for b in blobs)
+        blobs.append(data + b"\0" * ((-len(data)) % 4))
+        views.append({"buffer": 0, "byteOffset": offset,
+                      "byteLength": len(data)})
+        acc = {"bufferView": len(views) - 1, "componentType": ctype,
+               "count": count, "type": atype}
+        if vmin is not None:
+            acc["min"] = vmin
+            acc["max"] = vmax
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    a_q = add(quad.tobytes(), 34962, len(quad), 5126, "VEC3",
+              quad.min(0).tolist(), quad.max(0).tolist())
+    a_quv = add(quad_uv.tobytes(), 34962, len(quad_uv), 5126, "VEC2")
+    a_qi = add(quad_idx.tobytes(), 34963, len(quad_idx), 5123, "SCALAR")
+
+    img_off = sum(len(b) for b in blobs)
+    blobs.append(image_bytes + b"\0" * ((-len(image_bytes)) % 4))
+    views.append({"buffer": 0, "byteOffset": img_off,
+                  "byteLength": len(image_bytes)})
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": a_q, "TEXCOORD_0": a_quv},
+            "indices": a_qi, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "metallicFactor": 0.2, "roughnessFactor": 0.8}}],
+        "textures": [{"source": 0}],
+        "images": [{"bufferView": len(views) - 1, "mimeType": mime}],
+        "bufferViews": views,
+        "accessors": accessors,
+        "buffers": [{"byteLength": sum(len(b) for b in blobs)}],
+    }
+
+    js = json.dumps(doc).encode()
+    js += b" " * ((-len(js)) % 4)
+    binv = b"".join(blobs)
+    glb = io.BytesIO()
+    total = 12 + 8 + len(js) + 8 + len(binv)
+    glb.write(struct.pack("<III", 0x46546C67, 2, total))
+    glb.write(struct.pack("<II", len(js), 0x4E4F534A) + js)
+    glb.write(struct.pack("<II", len(binv), 0x004E4942) + binv)
+    path.write_bytes(glb.getvalue())
+    return path

@@ -39,6 +39,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fr_png_decode_rgba.restype = ctypes.c_int
         lib.fr_srgb_lut.argtypes = [ctypes.c_void_p]
         lib.fr_srgb_lut.restype = None
+        lib.fr_jpeg_info.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                     ctypes.POINTER(ctypes.c_int),
+                                     ctypes.POINTER(ctypes.c_int)]
+        lib.fr_jpeg_info.restype = ctypes.c_int
+        lib.fr_jpeg_decode_rgba.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                            ctypes.c_void_p]
+        lib.fr_jpeg_decode_rgba.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -62,6 +69,24 @@ def decode_png(data: bytes) -> Optional[np.ndarray]:
     out = np.empty((h.value, w.value, 4), np.uint8)
     rc = lib.fr_png_decode_rgba(data, len(data),
                                 out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """Decode JPEG bytes to (H, W, 4) uint8 RGBA, or None if unsupported."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.fr_jpeg_info(data, len(data), ctypes.byref(w),
+                        ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 4), np.uint8)
+    rc = lib.fr_jpeg_decode_rgba(data, len(data),
+                                 out.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
         return None
     return out

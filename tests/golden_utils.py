@@ -143,6 +143,35 @@ def render_multimesh():
     return np.asarray(rgba[..., :3])
 
 
+def render_jpeg_quad():
+    """JPEG-textured quad (embedded image/jpeg GLB) — parity with the
+    reference's any-format texture decode (gltf_loader.rs:100,116)."""
+    import tempfile
+
+    from funky_tpu.frame import (GltfConfig, compiled_gltf_frame,
+                                 default_gltf_params, init_frame_state)
+    from funky_tpu.models.gltf import GltfScene
+    from funky_tpu.models.sample_scenes import build_textured_quad_glb
+    from funky_tpu.models.scene import build_device_scene
+    from funky_tpu.ops.raster import RasterConfig
+
+    jpg = (pathlib.Path(__file__).parent / "assets"
+           / "quad_tex_420p.jpg").read_bytes()
+    with tempfile.TemporaryDirectory() as td:
+        glb = build_textured_quad_glb(pathlib.Path(td) / "quad.glb", jpg)
+        scene = GltfScene.load(glb)
+    ds = build_device_scene(scene)
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=64, backend="jnp")
+    cfg = GltfConfig(width=192, height=112, shadow_map_size=64,
+                     raster=tile, shadow_raster=tile)
+    params = default_gltf_params(gltf_min_y=0.0, gltf_scale=1.0)
+    frame = compiled_gltf_frame(cfg)
+    state = init_frame_state(cfg)
+    for _ in range(2):
+        rgba, state = frame(ds, params, state)
+    return np.asarray(rgba[..., :3])
+
+
 GOLDENS = {
     "cube_r06_128.png": render_cube,
     "duck_shadows_256x144.png": render_duck,
@@ -152,6 +181,7 @@ GOLDENS = {
     "duck_contact_only_256x144.png": render_duck_contact_only,
     "duck_ui_448x256.png": render_duck_ui,
     "multimesh_pbr_256x144.png": render_multimesh,
+    "jpeg_quad_192x112.png": render_jpeg_quad,
     "sdf_t1_160x96.png": render_sdf,
 }
 
