@@ -92,19 +92,15 @@ def tune_sparse_capacities(scene, params, cfg, frames: int = 2):
     # cover) — ~1 ms of slicing vs ~14 ms of compaction relayouts. Keep
     # the block path only when the row band is much looser than the
     # block cover (sparse mid-screen geometry).
-    # Tap windows: bbox extent + traced-radius padding (4*max_softness)
-    # + jitter margin, rounded to 64; above 384 the sub-table would cross
-    # the ~2.5 MB gather cliff and stops paying — keep the full table.
-    pad = 2 * (4 * cfg.max_softness + 3)
-
-    def window(extent):
-        if extent <= 0:
-            return 64  # cascade had no pairs this view: smallest window
-        w = _round_up(extent + pad + 32, 64)
-        return w if w <= 384 else 0
-
-    tap_windows = tuple(window(e)
-                        for e in occ["tap_extent_per_cascade"])
+    # Tap windows: NOT selected. Isolated, a <=384-texel window gathers
+    # 3-4x faster (under the ~2.5 MB cliff), but A/B on the whole frame
+    # (experiments/ab_backhalf.py, r3) measured windows a consistent
+    # ~0.8 FPS LOSS (dense 6.14 -> 5.45, slab 6.54 -> 5.66): the
+    # fit-certificate reduction + per-cascade lax.cond serialize against
+    # the frame's other work, outweighing the gather saving. The
+    # mechanism + tests stay (GltfConfig.shadow_tap_windows) for
+    # scenes/configs where taps dominate outright.
+    tap_windows = None
 
     span_rows = _round_up(min(occ["valid_row_span"] * 1.1 + 8,
                               cfg.height), 8)
