@@ -125,9 +125,20 @@ def _dilate_exact(x: jnp.ndarray, reach: int, reduce_fn, pad_value: float,
 
 
 def _cell_max(x: jnp.ndarray, coarse: int) -> jnp.ndarray:
+    """Per-cell max over (coarse, coarse) tiles of each (S, S) map.
+
+    Layout-aware two-stage reduction: the naive
+    reshape(l, sc, coarse, sc, coarse).max((2, 4)) puts `coarse` (16) on
+    the lane dim, forcing a physical relayout of the full 67 MB map
+    before every reduce (profiled ~1.7 ms per call x 8 calls at 2048^2;
+    r3 trace). Splitting the ROW axis is layout-free, so reduce rows
+    first, transpose the small (l, sc, s) intermediate, and reduce the
+    former lane axis as rows too."""
     l, s, _ = x.shape
     sc = s // coarse
-    return x.reshape(l, sc, coarse, sc, coarse).max(axis=(2, 4))
+    rows = x.reshape(l, sc, coarse, s).max(axis=2)        # (l, sc, s)
+    cols = rows.transpose(0, 2, 1)                         # (l, s, sc)
+    return cols.reshape(l, sc, coarse, sc).max(axis=2).transpose(0, 2, 1)
 
 
 def blocker_window(max_softness: float) -> int:

@@ -541,35 +541,15 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         # is TRACED (blocker search <= 2*softness, penumbra PCF <=
         # 4*softness, fixed PCF <= max(softness, 1)), so the window-fit
         # certificate covers any softness — an oversized radius just
-        # fails the extent check and takes the full-table branch.
+        # fails the extent check and takes the full-table branch. The
+        # bbox is reduced over each cascade's COMPACTED segment (~tens of
+        # k rows), not the full pixel domain: under `fits` the segments
+        # contain every needed pair, so the certificate is exact, and the
+        # r3 A/B loss from 16 full-frame reductions + a dense (2n, 2)
+        # relayout is gone.
         s_full = shadow_maps.shape[1]
-        win_boxes = None
-        if tap_windows is not None:
-            pad = jnp.ceil(4.0 * jnp.maximum(softness, 1.0)).astype(
-                jnp.int32) + 2
-            big = jnp.int32(1 << 28)
-            uvp = jnp.stack([uv0, uv1]).reshape(2 * n, 2)
-            bx = jnp.floor(uvp[:, 0] * s_full - 0.5).astype(jnp.int32)
-            by = jnp.floor(uvp[:, 1] * s_full - 0.5).astype(jnp.int32)
-            needs_f = needs.reshape(2 * n)
-            layer_f = pair_layer.reshape(2 * n)
-            win_boxes = []
-            for c in range(n_casc):
-                wc = int(tap_windows[c]) if tap_windows[c] else 0
-                if wc <= 0 or wc >= s_full:
-                    win_boxes.append(None)
-                    continue
-                m = needs_f & (layer_f == c)
-                lo_x = jnp.min(jnp.where(m, bx, big)) - pad
-                hi_x = jnp.max(jnp.where(m, bx, -big)) + pad + 1
-                lo_y = jnp.min(jnp.where(m, by, big)) - pad
-                hi_y = jnp.max(jnp.where(m, by, -big)) + pad + 1
-                fits_w = ((hi_x - lo_x) < wc) & ((hi_y - lo_y) < wc)
-                oy = jnp.clip(lo_y, 0, s_full - wc)
-                ox = jnp.clip(lo_x, 0, s_full - wc)
-                win = jax.lax.dynamic_slice(
-                    shadow_maps, (c, oy, ox, 0), (1, wc, wc, 4))[0]
-                win_boxes.append((win, (oy, ox), fits_w))
+        pad = jnp.ceil(4.0 * jnp.maximum(softness, 1.0)).astype(
+            jnp.int32) + 2
 
         for c in range(n_casc):
             cc = caps_c[c]
@@ -603,12 +583,27 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                                          recv_e, phi_e, window=window)
                 return jnp.stack([m1, m1, m2, kern], axis=-1)
 
-            if win_boxes is not None and win_boxes[c] is not None:
-                win, orig, fits_w = win_boxes[c]
+            wc = (int(tap_windows[c])
+                  if tap_windows is not None and tap_windows[c] else 0)
+            if 0 < wc < s_full:
+                big = jnp.int32(1 << 28)
+                bx_e = jnp.floor(uv_e[:, 0] * s_full - 0.5).astype(
+                    jnp.int32)
+                by_e = jnp.floor(uv_e[:, 1] * s_full - 0.5).astype(
+                    jnp.int32)
+                lo_x = jnp.min(jnp.where(valid_c, bx_e, big)) - pad
+                hi_x = jnp.max(jnp.where(valid_c, bx_e, -big)) + pad + 1
+                lo_y = jnp.min(jnp.where(valid_c, by_e, big)) - pad
+                hi_y = jnp.max(jnp.where(valid_c, by_e, -big)) + pad + 1
+                fits_w = ((hi_x - lo_x) < wc) & ((hi_y - lo_y) < wc)
+                oy = jnp.clip(lo_y, 0, s_full - wc)
+                ox = jnp.clip(lo_x, 0, s_full - wc)
+                win = jax.lax.dynamic_slice(
+                    shadow_maps, (c, oy, ox, 0), (1, wc, wc, 4))[0]
                 vals = jax.lax.cond(
                     fits_w,
-                    lambda _, win=win, orig=orig: taps(
-                        (win, orig, s_full)),
+                    lambda _, win=win, oy=oy, ox=ox: taps(
+                        (win, (oy, ox), s_full)),
                     lambda _: taps(None), operand=None)
             else:
                 vals = taps(None)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.sampling import sample_nearest_edge
@@ -85,28 +86,60 @@ def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
                  & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0)
                  & (prev_ndc[..., 2] >= 0.0) & (prev_ndc[..., 2] <= 1.0))
 
-    hist = sample_nearest_edge(history, prev_uv)          # (H, W, 2)
-    history_shadow = hist[..., 0]
-    history_depth = hist[..., 1]
-
-    # Disocclusion rejection (gltf.frag:557-567).
+    # Disocclusion rejection, motion half (gltf.frag:557-567): pixels
+    # with motion > 0.02 reject regardless of history values, so only
+    # in-bounds low-motion pixels actually need the history READ.
     motion = jnp.linalg.norm(prev_uv - current_uv, axis=-1)
-    delta = jnp.abs(history_shadow - current)
-    depth_delta = jnp.abs(history_depth - prev_ndc[..., 2])
-    reject = (motion > 0.02) | (depth_delta > 0.02) | (delta > 0.35)
+    need = in_bounds & (motion <= 0.02)
 
-    # Variance clamp (gltf.frag:569-578).
+    # Variance clamp terms (gltf.frag:569-578) — history-independent.
     variance = jnp.maximum(0.0, cur.m2 - cur.m1 * cur.m1)
     stdev = jnp.sqrt(variance)
     softness = jnp.clip(cur.kernel_radius_texels / 8.0, 0.0, 1.0)
     sigma = 2.5 + (0.9 - 2.5) * softness                  # mix(2.5,0.9,s)
     lo = cur.m1 - sigma * stdev
     hi = cur.m1 + sigma * stdev
-    history_clamped = jnp.clip(history_shadow, lo, hi)
-
     history_weight = 0.55 + (0.85 - 0.55) * softness      # gltf.frag:582
-    blended = current + (history_clamped - current) * history_weight
 
-    out = jnp.where(in_bounds & ~reject, blended, current)
-    new_history = jnp.stack([out, cur_ndc_depth], axis=-1)
-    return out, new_history
+    def blend_with(hist):
+        history_shadow = hist[..., 0]
+        history_depth = hist[..., 1]
+        delta = jnp.abs(history_shadow - current)
+        depth_delta = jnp.abs(history_depth - prev_ndc[..., 2])
+        reject = (motion > 0.02) | (depth_delta > 0.02) | (delta > 0.35)
+        history_clamped = jnp.clip(history_shadow, lo, hi)
+        blended = current + (history_clamped - current) * history_weight
+        out = jnp.where(in_bounds & ~reject, blended, current)
+        return out, jnp.stack([out, cur_ndc_depth], axis=-1)
+
+    if frag is None:
+        # Aligned-history fast path: the NEAREST tap at prev_uv is the
+        # pixel's OWN texel whenever the camera is still (identical
+        # view-proj makes reprojection the exact identity — object motion
+        # doesn't matter because reprojection re-projects the CURRENT
+        # world position). In that whole-frame case the 1-row-per-pixel
+        # serial gather (~14 ns/row, ~16 ms at 1080p; r3 trace) collapses
+        # to one aligned dynamic_slice. Any pixel that needs history from
+        # a DIFFERENT texel falls the frame back to the exact gather via
+        # lax.cond — bit-identical outputs either way (pixels whose tap
+        # moved but are motion/oob-rejected never read their hist value).
+        ix = jnp.clip(jnp.floor(prev_uv[..., 0] * fw).astype(jnp.int32),
+                      0, fw - 1)
+        iy = jnp.clip(jnp.floor(prev_uv[..., 1] * fh).astype(jnp.int32),
+                      0, fh - 1)
+        own_x = (frag_x - 0.5).astype(jnp.int32)
+        own_y = (frag_y - 0.5).astype(jnp.int32)
+        aligned = (ix == own_x) & (iy == own_y)
+        all_aligned = jnp.all(aligned | ~need)
+
+        def fast(_):
+            slab = jax.lax.dynamic_slice(
+                history, (jnp.asarray(y0, jnp.int32), 0, 0), (h, w, 2))
+            return blend_with(slab)
+
+        def slow(_):
+            return blend_with(sample_nearest_edge(history, prev_uv))
+
+        return jax.lax.cond(all_aligned, fast, slow, operand=None)
+
+    return blend_with(sample_nearest_edge(history, prev_uv))

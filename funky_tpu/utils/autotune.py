@@ -92,15 +92,27 @@ def tune_sparse_capacities(scene, params, cfg, frames: int = 2):
     # cover) — ~1 ms of slicing vs ~14 ms of compaction relayouts. Keep
     # the block path only when the row band is much looser than the
     # block cover (sparse mid-screen geometry).
-    # Tap windows: NOT selected. Isolated, a <=384-texel window gathers
-    # 3-4x faster (under the ~2.5 MB cliff), but A/B on the whole frame
-    # (experiments/ab_backhalf.py, r3) measured windows a consistent
-    # ~0.8 FPS LOSS (dense 6.14 -> 5.45, slab 6.54 -> 5.66): the
-    # fit-certificate reduction + per-cascade lax.cond serialize against
-    # the frame's other work, outweighing the gather saving. The
-    # mechanism + tests stay (GltfConfig.shadow_tap_windows) for
-    # scenes/configs where taps dominate outright.
-    tap_windows = None
+    # Tap windows: a <=384-texel window keeps each cascade's tap table
+    # under the ~2.5 MB gather cliff (3-4x faster serial gather). The
+    # first r3 cut measured a whole-frame LOSS because its fit
+    # certificate ran 16 full-frame reductions + a dense (2n, 2) relayout
+    # before the cond; the certificate now reduces each cascade's
+    # COMPACTED segment (~tens of k rows, exact under the capacity cond),
+    # making the overhead negligible — windows are selected from the
+    # measured needed-texel extents whenever they fit. pad mirrors the
+    # traced tap-radius bound in cascaded_shadow_sparse.
+    pad = int(-(-4.0 * max(float(params.shadow_softness), 1.0) // 1)) + 2
+    tap_windows = []
+    for ext in occ["tap_extent_per_cascade"]:
+        if ext <= 0:
+            # nothing needed this view: keep a minimal window (cheap,
+            # certificate-guarded either way)
+            tap_windows.append(128)
+            continue
+        want = _round_up(int(ext * 1.25) + 2 * pad + 16, 64)
+        tap_windows.append(want if want <= 384 else 0)
+    tap_windows = (tuple(tap_windows)
+                   if any(w > 0 for w in tap_windows) else None)
 
     span_rows = _round_up(min(occ["valid_row_span"] * 1.1 + 8,
                               cfg.height), 8)

@@ -123,6 +123,38 @@ def test_taa_rejects_on_motion():
     np.testing.assert_allclose(np.asarray(out), 0.2, atol=1e-6)
 
 
+def test_taa_aligned_fast_path_bit_parity():
+    """The slab layout's aligned-history fast path (lax.cond in
+    apply_shadow_taa) must be bit-identical to the always-gather frag
+    layout — both for a static camera (fast branch taken: every needed
+    tap is the pixel's own texel) and a nudged camera (gather branch)."""
+    rng = np.random.default_rng(7)
+    n = 16
+    uni = _uniforms()
+    for prev in (uni.view_proj,  # static -> fast branch
+                 _uniforms(camera_pos=jnp.asarray([0.05, 2.0, 5.0],
+                                                  jnp.float32)).view_proj):
+        u = uni._replace(prev_view_proj=prev)
+        world = _world_at_pixels(u)
+        v = jnp.asarray(rng.uniform(0, 1, (n, n)), jnp.float32)
+        cur = ShadowResult(v, v, v * v + 0.01,
+                           jnp.asarray(rng.uniform(0, 8, (n, n)),
+                                       jnp.float32))
+        hist = jnp.asarray(rng.uniform(0, 1, (n, n, 2)), jnp.float32)
+        out_a, hist_a = taa.apply_shadow_taa(cur, world, u, hist, True,
+                                             full_height=n)
+        # (n, n, 2) with frag[...,0]=x+0.5, frag[...,1]=y+0.5
+        frag = jnp.stack(jnp.meshgrid(
+            jnp.arange(n, dtype=jnp.float32) + 0.5,
+            jnp.arange(n, dtype=jnp.float32) + 0.5), axis=-1)
+        out_b, hist_b = taa.apply_shadow_taa(
+            cur, world, u, hist, True, full_height=n, frag=frag,
+            full_width=n)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+        np.testing.assert_array_equal(np.asarray(hist_a),
+                                      np.asarray(hist_b))
+
+
 def test_contact_shadow_backface_lit():
     """Surfaces facing away from the light never get contact shadows
     (gltf.frag:326-329)."""
