@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Cumulative truncated-frame timing: in-frame cost of each stage.
+
+Builds a ladder of frame prefixes (T0 = front only ... full frame) with
+the SAME autotuned config the bench uses, times each chained x N with one
+drain fetch, and reports the diffs. Unlike isolated stage scans this keeps
+XLA's real scheduling context and carries no RTT floor.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u experiments/ablate_stack.py
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/funky_tpu_jax_tpu"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+    import jax
+    import jax.numpy as jnp
+
+    import funky_tpu.frame as fr
+    from funky_tpu.models.gltf import GltfScene
+    from funky_tpu.models.scene import build_device_scene
+    from funky_tpu.ops.raster import raster_corners
+    from funky_tpu.ops.sampling import quad_pack
+    from funky_tpu.passes import (contact, deferred, geometry, shading,
+                                  shadow, shadow_filter, taa)
+    from funky_tpu.passes.shadow_classify import (build_class_maps,
+                                                  light_ground_planes)
+    from funky_tpu.utils.autotune import autotune_config
+
+    duck = GltfScene.load("/root/reference/models/scene.gltf")
+    scene = build_device_scene(duck)
+    params = fr.default_gltf_params(gltf_min_y=float(duck.bounds_min[1]))
+    cfg = autotune_config(scene, params, fr.GltfConfig(), verbose=True)
+    flags = cfg.flags
+
+    state0 = fr.init_frame_state(cfg)
+    n = int(os.environ.get("AB_FRAMES", "20"))
+
+    def timed(label, fn):
+        jfn = jax.jit(fn)
+        state = state0
+        out, state = jfn(scene, params, state)
+        float(np.asarray(out.ravel()[0] if hasattr(out, "ravel") else out))
+        ms = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = state
+            for _ in range(n):
+                out, s = jfn(scene, params, s)
+            float(np.asarray(out.ravel()[0]
+                             if hasattr(out, "ravel") else out))
+            ms.append((time.perf_counter() - t0) / n * 1e3)
+        ms.sort()
+        print(f"{label:34s} {ms[1]:8.2f} ms  (min {ms[0]:.2f} max "
+              f"{ms[-1]:.2f})", flush=True)
+        return ms[1]
+
+    # Stage ladder. `stop` names the last stage included; each prefix
+    # mirrors render_gltf_frame + the row-slab back half exactly, then
+    # consumes what it built (summed into the carried prev_depth so the
+    # scan can't hoist anything).
+    STAGES = ("raster", "shadow_raster", "quadpack", "classmaps",
+              "deferred", "classify", "compact", "taps", "taa", "contact",
+              "shade")
+
+    def prefix(stop):
+        k = STAGES.index(stop)
+
+        def run(scene, params, state):
+            uni = fr.compute_frame_uniforms(params, state, cfg)
+            world_v, clip, normals_v = geometry.transform_vertices(
+                scene, uni.models, uni.view_proj)
+            blocks = geometry.build_shade_blocks(scene, world_v, clip,
+                                                 normals_v)
+            tri_clip, blocks_m, tri_flags_m, tri_valid = \
+                fr._main_raster_inputs(scene, clip, blocks,
+                                       cfg.clip_capacity)
+            tri_id, depth, setup = raster_corners(
+                tri_clip, tri_valid, cfg.width, cfg.height, cfg.raster)
+            acc = jnp.sum(depth[::97, ::97])
+            bits = [acc]
+
+            def done(bits):
+                new_state = state._replace(
+                    prev_depth=depth + sum(bits) * 1e-30,
+                    frame_index=state.frame_index + 1)
+                return sum(bits), new_state
+
+            if k < 1:
+                return done(bits)
+            raw_maps = shadow.render_shadow_maps(
+                world_v, scene.tri_indices, scene.num_triangles,
+                uni.light_view_proj, cfg.shadow_raster,
+                cfg.shadow_map_size)
+            raw_maps = jax.lax.optimization_barrier(raw_maps)
+            bits.append(jnp.sum(raw_maps[:, ::233, ::233]))
+            if k < 2:
+                return done(bits)
+            shadow_maps = jax.lax.optimization_barrier(
+                jax.vmap(quad_pack)(raw_maps))
+            bits.append(jnp.sum(shadow_maps[:, ::233, ::233, 0]))
+            if k < 3:
+                return done(bits)
+            class_maps = build_class_maps(
+                raw_maps, cfg.class_coarse, cfg.max_softness,
+                light_ground_planes(uni.light_view_proj))
+            bits.append(jnp.sum(class_maps.cell_rows[::97]))
+            if k < 4:
+                return done(bits)
+
+            # row-slab back half (mirrors _shade_slab_rows's slab branch)
+            h, w = tri_id.shape
+            slab_h = cfg.effective_slab_rows(h) or h
+            row_any = jnp.any(tri_id >= 0, axis=1)
+            y_lo = jnp.argmax(row_any).astype(jnp.int32)
+            y0d = jnp.clip(y_lo, 0, h - slab_h)
+            tri_s = jax.lax.dynamic_slice(tri_id, (y0d, 0), (slab_h, w))
+            dep_s = jax.lax.dynamic_slice(depth, (y0d, 0), (slab_h, w))
+            gbuf = deferred.interpolate(tri_s, dep_s, setup.data, blocks_m,
+                                        tri_flags_m, y0d)
+            normal = gbuf.normal / jnp.maximum(
+                jnp.linalg.norm(gbuf.normal, axis=-1, keepdims=True),
+                1e-12)
+            n_dot_l = jnp.maximum(
+                jnp.sum(normal * uni.light_dir, axis=-1), 0.0)
+            view_depth = -((gbuf.world @ uni.view[2, :3].T)
+                           + uni.view[2, 3])
+            frag = jnp.stack([
+                jnp.broadcast_to(
+                    jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5,
+                    (slab_h, w)),
+                jnp.broadcast_to(
+                    jnp.arange(slab_h, dtype=jnp.float32)[:, None] + 0.5,
+                    (slab_h, w)) + y0d.astype(jnp.float32),
+            ], axis=-1)
+            bits.append(jnp.sum(gbuf.world[::97, ::97, 0]))
+            if k < 5:
+                return done(bits)
+
+            c0, c1, t = shadow_filter.select_cascade_blend(
+                view_depth, uni.cascade_splits)
+            softness = uni.shadow_bias[0]
+            blend = t > 0.0
+            (uv0, r0, inb0, lit0, um0, uv1, r1, inb1, lit1, um1, needs0,
+             needs1) = shadow_filter._pair_classification(
+                uni, class_maps, c0, c1, blend, gbuf.world, normal,
+                n_dot_l, softness, flags.use_pcss, gbuf.valid)
+            bits.append(jnp.sum(needs0) * 1.0 + jnp.sum(lit0))
+            if k < 6:
+                return done(bits)
+
+            from funky_tpu.ops.compact import compact_indices_blocked
+            needs = jnp.stack([needs0, needs1])
+            pair_layer = jnp.stack([c0, c1])
+            blocked = compact_indices_blocked(
+                needs, cfg.shadow_pen_capacity, 8, 8,
+                cfg.shadow_pen_block_capacity, group_key=pair_layer)
+            bits.append(jnp.sum(blocked.comp.idx[::97]).astype(jnp.float32))
+            if k < 7:
+                return done(bits)
+
+            sres, c0_, c1_, ct = shadow_filter.cascaded_shadow_sparse(
+                uni, shadow_maps, class_maps, gbuf.world, normal, n_dot_l,
+                view_depth, frag, flags.use_pcss, gbuf.valid,
+                cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
+                cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows)
+            bits.append(jnp.sum(sres.v[::97, ::97]))
+            if k < 8:
+                return done(bits)
+
+            shadow_term, new_history = taa.apply_shadow_taa(
+                sres, gbuf.world, uni, state.shadow_history,
+                flags.use_shadow_taa, full_height=cfg.height, frag=frag,
+                full_width=cfg.width)
+            bits.append(jnp.sum(shadow_term[::97, ::97]))
+            if k < 9:
+                return done(bits)
+
+            contact_term = contact.compute_contact_shadow_sparse(
+                gbuf.world, normal, uni, state.prev_depth, 0,
+                capacity=cfg.contact_capacity,
+                march_capacity=cfg.contact_march_capacity,
+                valid=gbuf.valid,
+                block_capacity=cfg.contact_block_capacity, frag=frag)
+            shadow_term = jnp.minimum(shadow_term, contact_term)
+            bits.append(jnp.sum(shadow_term[::97, ::97]))
+            if k < 10:
+                return done(bits)
+
+            rgba = shading.shade_gltf(gbuf, scene.texture,
+                                      scene.texture_sizes,
+                                      uni.camera_pos, uni.light_dir,
+                                      shadow_term,
+                                      jnp.asarray(fr.GLTF_CLEAR,
+                                                  jnp.float32),
+                                      cfg.effective_texture_blocks)
+            old_slab = jax.lax.dynamic_slice(state.shadow_history,
+                                             (y0d, 0, 0), (slab_h, w, 2))
+            new_history = jnp.where(gbuf.valid[..., None], new_history,
+                                    old_slab)
+            hist = jax.lax.dynamic_update_slice(state.shadow_history,
+                                                new_history, (y0d, 0, 0))
+            bits.append(jnp.sum(rgba[::97, ::97, 0]))
+            new_state = state._replace(
+                prev_depth=depth + sum(bits) * 1e-30,
+                shadow_history=hist,
+                frame_index=state.frame_index + 1)
+            return sum(bits), new_state
+
+        return run
+
+    results = {}
+    for s in STAGES:
+        results[s] = timed(f"thru {s}", prefix(s))
+
+    def t_full(scene, params, state):
+        return fr.render_gltf_frame(scene, params, state, cfg)
+
+    r_full = timed("FULL frame", t_full)
+
+    print("\nstage deltas:")
+    prev = 0.0
+    for s in STAGES:
+        print(f"  {s:16s} {results[s] - prev:8.2f} ms")
+        prev = results[s]
+    print(f"  (ladder total     {prev:8.2f}; real full {r_full:8.2f})")
+
+
+if __name__ == "__main__":
+    main()
