@@ -31,6 +31,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from .sampling import take_rows
+
 
 class Compacted(NamedTuple):
     idx: jnp.ndarray     # (capacity,) int32 flat indices into the mask,
@@ -140,7 +142,7 @@ def compact_indices_blocked(mask: jnp.ndarray, capacity: int,
     cand_safe = jnp.maximum(cand, 0)
 
     flat = mask.ravel()
-    m = flat[cand_safe] & cand_valid
+    m = take_rows(flat, cand_safe) & cand_valid
     n_cand = cand.shape[0]
     capacity = min(capacity, n_cand)
     if group_key is None:
@@ -221,7 +223,7 @@ def gather_blocks(a: jnp.ndarray, bc: BlockCompaction) -> jnp.ndarray:
     """Gather the compacted blocks of a (h, w, ...) array as a flat
     block-major (capacity_blocks * bh * bw, ...) array: ONE gathered row
     per block."""
-    rows = _to_block_rows(a, bc)[jnp.maximum(bc.comp_b.idx, 0)]
+    rows = take_rows(_to_block_rows(a, bc), jnp.maximum(bc.comp_b.idx, 0))
     out = rows.reshape((bc.capacity_blocks * bc.block_len,) + a.shape[2:])
     return out
 
@@ -276,7 +278,7 @@ def gather_rows(table: jnp.ndarray, comp: Compacted) -> jnp.ndarray:
     """Gather payload rows (flat-first-dim `table`) for compacted elements;
     padding slots fetch row 0 (callers mask with comp.slot_valid)."""
     safe = jnp.maximum(comp.idx, 0)
-    return table[safe]
+    return take_rows(table, safe)
 
 
 def scatter_back(dense: jnp.ndarray, comp: Compacted,

@@ -23,14 +23,49 @@ lowers to a dynamic-gather; the Pallas fast paths keep the tables in VMEM.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
+
+
+def take_rows(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather with the index array reshaped into XLA's FAST layout.
+
+    Measured on v5e (PERF.md round-3 gather law; experiments/
+    bench_band_gather.py --locality + layout probes): the serial TPU
+    gather runs ~5.3 ns/row when the index array's trailing dim is <= 32
+    and the gathered row stays around <= 128 lanes, and ~11.4 ns/row for
+    every other layout — flat (B,), tap-major (16, B), wide-minor
+    (B/128, 128) and dense (H, W) all hit the slow mode. Index VALUE
+    order is irrelevant. Reshaping indices to (B/m, m) pre-gather and
+    the result back post-gather is a pure relayout, bit-exact, and ~2.1x
+    on every gather-bound pass.
+
+    flat: (N, ...) table, gathered along dim 0. idx: any-shape int32.
+    """
+    shape = idx.shape
+    b = idx.size
+    row_elems = int(math.prod(flat.shape[1:])) if flat.ndim > 1 else 1
+    m = 32
+    while m > 2 and m * row_elems > 128:
+        m //= 2
+    # already in the fast layout?
+    if (idx.ndim >= 2 and 1 < shape[-1] <= 32
+            and shape[-1] * row_elems <= 128):
+        return flat[idx]
+    while m > 1 and b % m:
+        m //= 2
+    if m <= 1 or b <= m:
+        return flat[idx]
+    out = flat[idx.reshape(b // m, m)]
+    return out.reshape(shape + flat.shape[1:])
 
 
 def _gather2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray):
     """img (H, W) or (H, W, C); iy/ix int32 of identical batch shape."""
     h, w = img.shape[0], img.shape[1]
     flat = img.reshape((h * w,) + img.shape[2:])
-    return jnp.take(flat, iy * w + ix, axis=0)
+    return take_rows(flat, iy * w + ix)
 
 
 def sample_bilinear_repeat(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -177,7 +212,7 @@ def _row_gather(packed: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray):
     """Gather rows from (H, W, K): one gather per (iy, ix)."""
     h, w, k = packed.shape
     flat = packed.reshape(h * w, k)
-    return flat[iy * w + ix]
+    return take_rows(flat, iy * w + ix)
 
 
 def sample_bilinear_repeat_packed_layers(tex_packed: jnp.ndarray,
@@ -205,7 +240,7 @@ def sample_bilinear_repeat_packed_layers(tex_packed: jnp.ndarray,
     ix = jnp.mod(x0, w).astype(jnp.int32)
     iy = jnp.mod(y0, h).astype(jnp.int32)
     flat = tex_packed.reshape(n * hp * wp, k4)
-    quad = flat[(layer * hp + iy) * wp + ix]             # (..., 4C)
+    quad = take_rows(flat, (layer * hp + iy) * wp + ix)  # (..., 4C)
     t00 = quad[..., 0 * c:1 * c]
     t10 = quad[..., 1 * c:2 * c]
     t01 = quad[..., 2 * c:3 * c]
@@ -259,7 +294,7 @@ def sample_shadow_compare_packed(packed_maps: jnp.ndarray,
     l, s, _, _ = packed_maps.shape
     cy, cx, fy, fx, inside, x_ok, y_ok = _quad_tap_setup((s, s), uv)
     flat = packed_maps.reshape(l * s * s, 4)
-    quad = flat[(layer * s + cy) * s + cx]               # (..., 4)
+    quad = take_rows(flat, (layer * s + cy) * s + cx)    # (..., 4)
     c00, c10, c01, c11 = _quad_corners(quad, x_ok, y_ok)
 
     def cmp(d, inb):
@@ -282,7 +317,7 @@ def sample_bilinear_border_packed(packed_maps: jnp.ndarray,
     l, s, _, _ = packed_maps.shape
     cy, cx, fy, fx, inside, x_ok, y_ok = _quad_tap_setup((s, s), uv)
     flat = packed_maps.reshape(l * s * s, 4)
-    quad = flat[(layer * s + cy) * s + cx]
+    quad = take_rows(flat, (layer * s + cy) * s + cx)
     c00, c10, c01, c11 = _quad_corners(quad, x_ok, y_ok)
 
     t00 = jnp.where(inside[0], c00, border)
@@ -312,7 +347,7 @@ def sample_nearest_border_packed(packed_maps: jnp.ndarray,
     cx = jnp.clip(x0, 0, s - 1)
     cy = jnp.clip(y0, 0, s - 1)
     flat = packed_maps.reshape(l * s * s, 4)
-    quad = flat[(layer * s + cy) * s + cx]               # (..., 4)
+    quad = take_rows(flat, (layer * s + cy) * s + cx)    # (..., 4)
     c00, c10, c01, c11 = _quad_corners(quad, x0 >= 0, y0 >= 0)
 
     nxi = jnp.floor(uv[..., 0] * s).astype(jnp.int32)
@@ -348,7 +383,7 @@ def _window_fetch(window: jnp.ndarray, origin, cy: jnp.ndarray,
     wh, ww, _ = window.shape
     ly = jnp.clip(cy - origin[0], 0, wh - 1)
     lx = jnp.clip(cx - origin[1], 0, ww - 1)
-    return window.reshape(wh * ww, 4)[ly * ww + lx]
+    return take_rows(window.reshape(wh * ww, 4), ly * ww + lx)
 
 
 def sample_shadow_compare_window(window: jnp.ndarray, origin,
@@ -443,7 +478,7 @@ def _gather_layered(maps: jnp.ndarray, layer: jnp.ndarray,
     """maps (L, H, W); per-element layer index."""
     _, h, w = maps.shape
     flat = maps.reshape(-1)
-    return jnp.take(flat, (layer * h + iy) * w + ix, axis=0)
+    return take_rows(flat, (layer * h + iy) * w + ix)
 
 
 def sample_shadow_compare_array(maps: jnp.ndarray, layer: jnp.ndarray,

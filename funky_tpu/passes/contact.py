@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sampling import quad_pack, sample_depth_dual_packed
+from ..ops.sampling import (quad_pack, sample_depth_dual_packed,
+                            take_rows)
 from .shadow_filter import interleaved_gradient_noise
 from .uniforms import FrameUniforms
 
@@ -377,7 +378,7 @@ def _box_min(pyr: ResidualPyramid, lo: jnp.ndarray,
 
     cx = jnp.minimum(jnp.floor(lo[..., 0] / cell).astype(jnp.int32), lw - 1)
     cy = jnp.minimum(jnp.floor(lo[..., 1] / cell).astype(jnp.int32), lh - 1)
-    quad = pyr.rows[off + cy * lw + cx]                   # (..., 4)
+    quad = take_rows(pyr.rows, off + cy * lw + cx)        # (..., 4)
     return jnp.min(quad, axis=-1)
 
 
@@ -391,7 +392,7 @@ def _point_min_l0(pyr: ResidualPyramid, p: jnp.ndarray) -> jnp.ndarray:
                   0, lw - 1)
     cy = jnp.clip(jnp.floor(lo[..., 1] / pyr.base).astype(jnp.int32),
                   0, lh - 1)
-    quad = pyr.rows[cy * lw + cx]                         # (..., 4)
+    quad = take_rows(pyr.rows, cy * lw + cx)              # (..., 4)
     return jnp.min(quad, axis=-1)
 
 

@@ -21,6 +21,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..ops.sampling import take_rows
+
 
 class GBuffer(NamedTuple):
     """Interpolated per-pixel attributes (all (H, W, ...) arrays)."""
@@ -61,7 +63,7 @@ def interpolate_at(tri_id: jnp.ndarray, depth: jnp.ndarray,
         shade_blocks.reshape(t, 36),
         tri_flags[:, None].astype(jnp.float32),
     ], axis=-1)                                          # (T, 46)
-    rows = fused[safe_id]                                # (..., 46)
+    rows = take_rows(fused, safe_id)                     # (..., 46)
     planes = rows[..., :9]
     blocks = rows[..., 9:45].reshape(rows.shape[:-1] + (3, 12))
     flags = rows[..., 45].astype(jnp.int32)

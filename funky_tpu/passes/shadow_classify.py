@@ -60,6 +60,8 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from ..ops.sampling import take_rows
+
 BORDER_DEPTH = 1.0   # CLAMP_TO_BORDER white (gltf_renderer.rs:806-833)
 # Drop-window ladder (fine texels). The smallest rung carries the whole
 # flat-ground case (penumbra clamps to 0.5 => taps within 2.5 texels) and
@@ -251,7 +253,8 @@ def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
 
     cx = px // cmaps.coarse
     cy = py // cmaps.coarse
-    cell = cmaps.cell_rows[(layer * sc + cy) * sc + cx]   # (..., K+3)
+    cell = take_rows(cmaps.cell_rows,
+                     (layer * sc + cy) * sc + cx)         # (..., K+3)
     n_ladder = len(DROP_LADDER)
     drop_lw = cell[..., _lw_rung(cmaps.max_softness)]
     rise_u = cell[..., n_ladder]

@@ -528,11 +528,16 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         segments), scattered into the closed-form base."""
         dense = jnp.stack([dense_base(inb0, um0),
                            dense_base(inb1, um1)]).reshape(2 * n, 4)
+        # phi rides the payload row (4-wide): one fast-layout gather per
+        # slot instead of a separate 1-wide phi gather (PERF.md r3 law —
+        # 1-wide gathers are the SLOWEST row width at ~9.6 ns/row).
+        phi2 = jnp.broadcast_to(phi.reshape(1, n), (2, n))
         payload = jnp.stack([
             jnp.stack([uv0[..., 0], uv0[..., 1], r0], axis=-1),
             jnp.stack([uv1[..., 0], uv1[..., 1], r1], axis=-1),
         ]).reshape(2 * n, 3)
-        phi_flat = jnp.tile(phi.reshape(n), 2)
+        payload = jnp.concatenate([payload, phi2.reshape(2 * n, 1)],
+                                  axis=-1)
         idx_pad = jnp.concatenate(
             [comp.idx, jnp.full((max(caps_c),), -1, jnp.int32)])
 
@@ -559,9 +564,9 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
             compc = Compacted(idx=jnp.where(valid_c, idx_c, -1),
                               slot_valid=valid_c, count=counts_c[c])
             rows = gather_rows(payload, compc)
-            phi_e = gather_rows(phi_flat, compc)
             uv_e = rows[:, :2]
             recv_e = rows[:, 2]
+            phi_e = rows[:, 3]
             maps_c = shadow_maps[c:c + 1]
             layer0 = jnp.zeros((cc,), jnp.int32)
 

@@ -92,27 +92,15 @@ def tune_sparse_capacities(scene, params, cfg, frames: int = 2):
     # cover) — ~1 ms of slicing vs ~14 ms of compaction relayouts. Keep
     # the block path only when the row band is much looser than the
     # block cover (sparse mid-screen geometry).
-    # Tap windows: a <=384-texel window keeps each cascade's tap table
-    # under the ~2.5 MB gather cliff (3-4x faster serial gather). The
-    # first r3 cut measured a whole-frame LOSS because its fit
-    # certificate ran 16 full-frame reductions + a dense (2n, 2) relayout
-    # before the cond; the certificate now reduces each cascade's
-    # COMPACTED segment (~tens of k rows, exact under the capacity cond),
-    # making the overhead negligible — windows are selected from the
-    # measured needed-texel extents whenever they fit. pad mirrors the
-    # traced tap-radius bound in cascaded_shadow_sparse.
-    pad = int(-(-4.0 * max(float(params.shadow_softness), 1.0) // 1)) + 2
-    tap_windows = []
-    for ext in occ["tap_extent_per_cascade"]:
-        if ext <= 0:
-            # nothing needed this view: keep a minimal window (cheap,
-            # certificate-guarded either way)
-            tap_windows.append(128)
-            continue
-        want = _round_up(int(ext * 1.25) + 2 * pad + 16, 64)
-        tap_windows.append(want if want <= 384 else 0)
-    tap_windows = (tuple(tap_windows)
-                   if any(w > 0 for w in tap_windows) else None)
+    # Tap windows: DISABLED. Isolated attribution on the real frame's
+    # compacted inputs (experiments/profile_taps.py, r3) measured the
+    # windowed tap path at 40.6 ms vs 25.6 ms for plain full-table
+    # gathers — the dynamic window slice + cond costs more than the
+    # under-cliff gather rate saves, even with the cheap segment-reduced
+    # certificate, and the index-LAYOUT fix (ops/sampling.take_rows)
+    # closes most of the rate gap windows were chasing. The mechanism
+    # stays in cascaded_shadow_sparse for tap-dominated configs.
+    tap_windows = None
 
     span_rows = _round_up(min(occ["valid_row_span"] * 1.1 + 8,
                               cfg.height), 8)
