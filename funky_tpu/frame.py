@@ -189,8 +189,11 @@ class GltfConfig:
     # DMA savings only with verified headroom.
     raster: RasterConfig = dataclasses.field(
         default_factory=lambda: RasterConfig(tile_h=32, tile_w=128))
+    # 128x256 shadow tiles measured fastest on v5e (experiments/
+    # bench_shadow_tiles.py: 11.4 ms vs 13.6 at 128x128, 36 at 32x128 —
+    # per-grid-step overhead dominates, smaller tiles lose).
     shadow_raster: RasterConfig = dataclasses.field(
-        default_factory=lambda: RasterConfig(tile_h=128, tile_w=128))
+        default_factory=lambda: RasterConfig(tile_h=128, tile_w=256))
     flags: GltfFrameFlags = dataclasses.field(default_factory=GltfFrameFlags)
     # Sparse shadow filtering knobs (flags.sparse_shadows):
     # max penumbra (pixel, cascade) pairs per frame slab — the compaction

@@ -22,7 +22,7 @@ from .uniforms import SHADOW_MAP_SIZE
 
 # capacity=None auto-sizes bins to the triangle count — the SAFE default
 # (an undersized bin silently drops triangles from dense shadow tiles).
-SHADOW_RASTER_CFG = RasterConfig(tile_h=128, tile_w=128, capacity=None)
+SHADOW_RASTER_CFG = RasterConfig(tile_h=128, tile_w=256, capacity=None)
 
 
 def render_shadow_maps(world: jnp.ndarray, tri_indices: jnp.ndarray,
