@@ -279,9 +279,16 @@ _PAD_BIG = 1e9    # min-reduce padding: never drives a window minimum down
 
 
 def _reduce_min(d: jnp.ndarray, f: int) -> jnp.ndarray:
+    """f x f min pool. Layout-aware: reduce the ROW axis first (layout-
+    free reshape), then the lane axis as a minor-dim reduce — the naive
+    reshape.min((1, 3)) puts f on the lane dim and relayouts the full
+    map before every reduce (same pathology as shadow_classify._cell_max;
+    experiments/bench_cellmax.py measured 2.45 ms vs 0.91 at 2048^2)."""
     h, w = d.shape
     d = jnp.pad(d, ((0, -h % f), (0, -w % f)), constant_values=_PAD_BIG)
-    return d.reshape(d.shape[0] // f, f, d.shape[1] // f, f).min(axis=(1, 3))
+    hp, wp = d.shape
+    rows = d.reshape(hp // f, f, wp).min(axis=1)           # (hp/f, wp)
+    return rows.reshape(hp // f, wp // f, f).min(axis=-1)
 
 
 def fit_ground_plane(view_proj: jnp.ndarray, width: int, height: int,

@@ -46,10 +46,14 @@ Soundness (receiver = proj_z - bias, the exact biased compare value):
   footprint + pixel-to-texel-center margin). A window larger than the
   taps is conservative, never wrong.
 
-Windows are EXACT-reach dilations (over-reach on the smallest rung would
-eat the tiny depth bias the flat-ground case lives on). Softness is a
-traced uniform: frames with softness > max_softness disable the closed
-forms entirely (everything penumbra = exact, just slower).
+The smallest ladder rung is an EXACT-reach full-resolution dilation
+(over-reach there would eat the tiny depth bias the flat-ground case
+lives on). Larger rungs and the rise window run CONSERVATIVELY on
+2x2-pooled hi/lo maps (see build_class_maps) — bounds only loosen, so
+soundness is unaffected and only wide-penumbra cells classify slightly
+less often. Softness is a traced uniform: frames with softness >
+max_softness disable the closed forms entirely (everything penumbra =
+exact, just slower).
 """
 
 from __future__ import annotations
@@ -132,15 +136,25 @@ def _cell_max(x: jnp.ndarray, coarse: int) -> jnp.ndarray:
     Layout-aware two-stage reduction: the naive
     reshape(l, sc, coarse, sc, coarse).max((2, 4)) puts `coarse` (16) on
     the lane dim, forcing a physical relayout of the full 67 MB map
-    before every reduce (profiled ~1.7 ms per call x 8 calls at 2048^2;
-    r3 trace). Splitting the ROW axis is layout-free, so reduce rows
-    first, transpose the small (l, sc, s) intermediate, and reduce the
-    former lane axis as rows too."""
+    before every reduce (measured 2.45 ms vs 0.91 at 2048^2;
+    experiments/bench_cellmax.py). Reduce the ROW axis layout-free
+    first, then the lane axis as a minor-dim reduce of the small
+    (l, sc, s) intermediate."""
     l, s, _ = x.shape
     sc = s // coarse
     rows = x.reshape(l, sc, coarse, s).max(axis=2)        # (l, sc, s)
-    cols = rows.transpose(0, 2, 1)                         # (l, s, sc)
-    return cols.reshape(l, sc, coarse, sc).max(axis=2).transpose(0, 2, 1)
+    return rows.reshape(l, sc, sc, coarse).max(axis=-1)
+
+
+def _pool2(x: jnp.ndarray):
+    """2x2 max/min pools of (L, S, S) via strided slices (layout-free;
+    the reshape-reduce formulation relayouts and is ~10x slower on TPU —
+    experiments/bench_cellmax.py)."""
+    hi = jnp.maximum(x[:, 0::2, :], x[:, 1::2, :])
+    hi = jnp.maximum(hi[:, :, 0::2], hi[:, :, 1::2])
+    lo = jnp.minimum(x[:, 0::2, :], x[:, 1::2, :])
+    lo = jnp.minimum(lo[:, :, 0::2], lo[:, :, 1::2])
+    return hi, lo
 
 
 def blocker_window(max_softness: float) -> int:
@@ -203,12 +217,45 @@ def build_class_maps(shadow_maps: jnp.ndarray, coarse: int = 8,
     assert DROP_LADDER[_lw_rung(max_softness)] >= blocker_window(
         max_softness)
 
-    mins = _dilate_exact(shadow_maps, DROP_LADDER[-1], jnp.minimum,
-                         BORDER_DEPTH, collect_at=DROP_LADDER)
-    drops = {r: _cell_max(shadow_maps - mins[r], coarse)
-             for r in DROP_LADDER}
-    maxs = _dilate_exact(shadow_maps, uw, jnp.maximum, BORDER_DEPTH)
-    rise = _cell_max(maxs[uw] - shadow_maps, coarse)
+    # Smallest rung: EXACT full-res dilation — it carries the whole
+    # flat-ground LIT case, where the margin is the tiny depth bias and
+    # any slack kills the closure.
+    r0 = DROP_LADDER[0]
+    mins0 = _dilate_exact(shadow_maps, r0, jnp.minimum, BORDER_DEPTH)
+    drops = {r0: _cell_max(shadow_maps - mins0[r0], coarse)}
+
+    if coarse % 2 == 0 and s % 2 == 0:
+        # Larger rungs + the rise window: CONSERVATIVE multiresolution
+        # dilation on 2x2-pooled maps (~4x less HBM traffic; the full-res
+        # chains were ~2/3 of the class-map build). Soundness: for any
+        # fine texel s in 2x2 block j, the fine ball {t: |t-s|inf <= r}
+        # lies within the blocks at Chebyshev distance <= R = (r+1)//2 of
+        # j, so
+        #   d(s) - min_{|t-s|<=r} d(t)  <=  d_hi(j) - dilate_R(d_lo)(j)
+        #   max_{|t-s|<=U} d(t) - d(s)  <=  dilate_R(d_hi)(j) - d_lo(j)
+        # i.e. drop/rise computed at half res are >= the true per-texel
+        # relief — looser (a few more penumbra pairs at wide rungs),
+        # never unsound. The bias-critical smallest rung stays exact
+        # above.
+        d_hi, d_lo = _pool2(shadow_maps)
+        ch = coarse // 2
+        half_rungs = [(r, (r + 1) // 2) for r in DROP_LADDER[1:]]
+        min2 = _dilate_exact(d_lo, half_rungs[-1][1], jnp.minimum,
+                             BORDER_DEPTH,
+                             collect_at=[hr for _, hr in half_rungs])
+        for r, hr in half_rungs:
+            drops[r] = _cell_max(d_hi - min2[hr], ch)
+        ru = (uw + 1) // 2
+        max2 = _dilate_exact(d_hi, ru, jnp.maximum, BORDER_DEPTH)
+        rise = _cell_max(max2[ru] - d_lo, ch)
+    else:
+        # odd coarse/size (tests, tiny maps): exact full-res everything
+        mins = _dilate_exact(shadow_maps, DROP_LADDER[-1], jnp.minimum,
+                             BORDER_DEPTH, collect_at=DROP_LADDER)
+        drops = {r: _cell_max(shadow_maps - mins[r], coarse)
+                 for r in DROP_LADDER}
+        maxs = _dilate_exact(shadow_maps, uw, jnp.maximum, BORDER_DEPTH)
+        rise = _cell_max(maxs[uw] - shadow_maps, coarse)
 
     if planes is None:
         planes = jnp.zeros((l, 3), jnp.float32)
