@@ -462,18 +462,57 @@ def _stage2_certify(pyr: ResidualPyramid, start, direction, jitter,
     return jnp.all(~inb | ok, axis=0)
 
 
+CERT_BLOCK = 4   # stage-1 min-R block side (16x fewer pyramid gathers)
+
+
+def _block_reduce2d(x: jnp.ndarray, bs: int, reduce_fn):
+    """(H, W) -> (H/bs, W/bs) block reduction, row axis first so the
+    minor (lane) dim never relayouts (see shadow_classify._cell_max)."""
+    h, w = x.shape
+    rows = reduce_fn(x.reshape(h // bs, bs, w), axis=1)      # (H/bs, W)
+    return reduce_fn(rows.reshape(h // bs, w // bs, bs), axis=-1)
+
+
 def contact_classify(pyr: ResidualPyramid, march_start, march_dir, jitter,
                      cand, depth_shape):
-    """Stage-1 dense certification: whole-ray box min-R (one pyramid row
-    per pixel) + analytic per-probe bounds. Returns the stage-2 candidate
-    mask (hit possible)."""
+    """Stage-1 dense certification: whole-ray box min-R + analytic
+    per-probe bounds. Returns the stage-2 candidate mask (hit possible).
+
+    The only gather here is the pyramid box-min row. On a 2D pixel
+    domain it is issued once per CERT_BLOCK^2 block over the UNION of the
+    block's (candidate) ray boxes: min-R over a superset box is <= each
+    pixel's own box min, so substituting it per pixel only loosens the
+    certificate (a few extra stage-2 candidates at occluder silhouettes),
+    never unsounds it — and the dense 2M-row serial gather (~10 ms at
+    1080p, PERF.md gather laws) drops 16x. The analytic per-probe bounds
+    stay exact per pixel (pure arithmetic)."""
     hd, wd = depth_shape
     size = jnp.asarray([wd, hd], jnp.float32)
     p0 = (march_start[..., :2] * 0.5 + 0.5) * size
     p1 = ((march_start[..., :2] + march_dir[..., :2]) * 0.5 + 0.5) * size
     lo = jnp.clip(jnp.minimum(p0, p1) - FOOT, 0.0, size - 1.0)
     hi = jnp.clip(jnp.maximum(p0, p1) + FOOT, 0.0, size - 1.0)
-    min_r = _box_min(pyr, lo, hi)
+    bs = CERT_BLOCK
+    if (lo.ndim == 3 and lo.shape[0] % bs == 0 and lo.shape[1] % bs == 0):
+        # Non-candidate pixels (sky, back-facing) must not inflate the
+        # union box: mask them to an empty box (their min_r is never
+        # consumed — stage2 = cand & ~cert).
+        big = jnp.asarray([wd + hd, wd + hd], jnp.float32)
+        lo_m = jnp.where(cand[..., None], lo, big)
+        lo_b = jnp.stack([_block_reduce2d(lo_m[..., k], bs, jnp.min)
+                          for k in range(2)], axis=-1)
+        hi_m = jnp.where(cand[..., None], hi, -big)
+        hi_b = jnp.stack([_block_reduce2d(hi_m[..., k], bs, jnp.max)
+                          for k in range(2)], axis=-1)
+        # Empty-union blocks collapse to a degenerate in-range point box
+        # (their min_r is never consumed, it just has to be finite).
+        lo_b = jnp.clip(lo_b, 0.0, size - 1.0)
+        hi_b = jnp.clip(hi_b, 0.0, size - 1.0)
+        hi_b = jnp.maximum(hi_b, lo_b)
+        min_r_b = _box_min(pyr, lo_b, hi_b)                # (H/bs, W/bs)
+        min_r = jnp.repeat(jnp.repeat(min_r_b, bs, axis=0), bs, axis=1)
+    else:
+        min_r = _box_min(pyr, lo, hi)
     cert = _certify_probes(pyr, march_start, march_dir, jitter, size,
                            min_r)
     return cand & ~cert
