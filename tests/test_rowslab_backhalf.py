@@ -73,6 +73,18 @@ def test_rowslab_matches_dense(duck_setup, flags):
     np.testing.assert_allclose(np.asarray(hs), np.asarray(hd), atol=TOL)
 
 
+@pytest.mark.parametrize("scale", [2, 4])
+def test_rowslab_routes_shadow_eval_scale(duck_setup, scale):
+    """shadow_eval_scale > 1 must route through the row-slab back half and
+    match the full-height dense path running the same scale (round-3 fell
+    back to full height, making the perf mode slower than exact)."""
+    scene, params = duck_setup
+    flags = F.GltfFrameFlags(shadow_eval_scale=scale)
+    rd, rs, hd, hs = _pair(scene, params, flags, slab_rows=64)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(rd), atol=TOL)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hd), atol=TOL)
+
+
 def test_rowslab_overflow_falls_back_exact(duck_setup):
     """A slab shorter than the covered span must produce the dense result
     via the lax.cond fallback (the slab height never changes the image)."""

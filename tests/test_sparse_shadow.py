@@ -57,6 +57,33 @@ def test_compact_overflow_and_groups():
     assert (np.diff(keys_sorted) >= 0).all()
 
 
+def test_compact_group_keys_near_int32_max():
+    """Grouped compaction must stay correct for group keys up to
+    INT32_MAX - 1 on any domain size (round-2 ADVICE: the old composite
+    `group_key * n + arange` key overflowed int32 once
+    (max_group + 1) * n >= 2^31 and silently mis-ordered; the stable
+    single-key argsort has no such precondition)."""
+    rng = np.random.default_rng(7)
+    n = 4096
+    mask_np = rng.random(n) < 0.3
+    # Huge spread keys: the old composite formula would overflow for any
+    # of these (key * n alone exceeds 2^31).
+    key_np = rng.choice(
+        np.asarray([0, 1, 2 ** 20, 2 ** 30, 2 ** 31 - 2], np.int32), n)
+    comp = compact_indices(jnp.asarray(mask_np), capacity=n,
+                           group_key=jnp.asarray(key_np))
+    idx = np.asarray(comp.idx)
+    sel = idx[np.asarray(comp.slot_valid)]
+    assert int(comp.count) == mask_np.sum()
+    assert sorted(sel) == list(np.nonzero(mask_np)[0])  # exact set
+    keys_sel = key_np[sel]
+    assert (np.diff(keys_sel.astype(np.int64)) >= 0).all()  # grouped
+    # raster order within each group (stable sort)
+    for k in np.unique(keys_sel):
+        grp = sel[keys_sel == k]
+        assert (np.diff(grp) > 0).all()
+
+
 # ---------------------------------------------------------------------------
 # Classification soundness: conservative by construction, checked by brute
 # force on random maps.
