@@ -247,13 +247,22 @@ def compute_contact_shadow(world: jnp.ndarray, normal: jnp.ndarray,
 # (plus the 0.01 normal offset, gltf.frag:332), so ray_ndc sits BELOW the
 # plane depth along its own view ray — a positive analytic gap that only
 # f32 noise (covered by min R and a rounding epsilon) can eat. Ground and
-# sky texels have R ~= 0; only boxes touching closer geometry (the duck)
-# de-certify.
+# sky texels have R ~= 0; only geometry closer than the plane (the duck)
+# makes R substantially negative.
 #
-# Stage 1 (dense, 1 pyramid row/px): whole-ray box min-R + 8 analytic
-#   per-probe bounds -> retires flat-ground/sky rays.
+# Stage 1 (dense, ZERO gathers — round-4 restructure): the only texels
+#   with R < -eps lie inside a MEASURED screen bbox (two dense reduces
+#   over the residual map); outside that bbox min R >= -eps is a frame
+#   constant. cs_z(t) and plane(q(t)) are both AFFINE in the march
+#   parameter t, so the certificate gap over any segment interval is
+#   convex and its max sits at the interval endpoints — the whole-ray
+#   check collapses to evaluating the gap at 4 endpoint parameters
+#   (segment start/end + bbox entry/exit from a 2D slab test). Rays whose
+#   segment misses the bbox and certify at the endpoints can never hit,
+#   for ANY probe jitter. This replaces the r3 per-probe loop + box-min
+#   pyramid gathers (the 29.6 ms contact bill was mostly this stage).
 # Stage 2 (compacted, 8 level-0 rows): per-probe +-2px boxes -> retires
-#   the box-dilation shell around the occluder.
+#   the shell around the occluder bbox.
 # Stage 3 (compacted): the exact hybrid march.
 # Overflow at either capacity falls back to the dense march (exact).
 # ---------------------------------------------------------------------------
@@ -265,14 +274,16 @@ FOOT = 2.0        # dual-sampler footprint half-width in texels (the quad
 
 
 class ResidualPyramid(NamedTuple):
-    rows: jnp.ndarray          # concat of quad-packed min-R levels, (N, 4)
-    offsets: jnp.ndarray       # (L,) int32 row offset per level
-    widths: jnp.ndarray        # (L,) int32 cells per row per level
-    heights: jnp.ndarray       # (L,) int32
-    cells: jnp.ndarray         # (L,) f32 cell size in pixels
-    base: int
+    """Level-0 min-R map + the measured occluder bbox (see stage-1 notes
+    above). Higher pyramid levels died with the r3 box-min stage."""
+    rows: jnp.ndarray          # (lh * lw, 4) quad-packed level-0 min-R
+    lw: int                    # level-0 cells per row (static)
+    lh: int
+    base: int                  # level-0 cell size in pixels
     plane: jnp.ndarray         # (3,) [a, b, c]: plane_ndc = a*px + b*py + c
     eps: jnp.ndarray           # () f32 conservative f32-rounding slack
+    occl_lo: jnp.ndarray       # (2,) f32 (x, y) pixel bbox of {R < -eps},
+    occl_hi: jnp.ndarray       # padded by FOOT + 1.5; lo > hi when empty
 
 
 _PAD_BIG = 1e9    # min-reduce padding: never drives a window minimum down
@@ -329,77 +340,64 @@ def fit_ground_plane(view_proj: jnp.ndarray, width: int, height: int,
 
 def build_residual_pyramid(prev_depth: jnp.ndarray, plane: jnp.ndarray,
                            base: int = 8) -> ResidualPyramid:
-    """Min-pyramid (levels base*2^j) of R = stored - min(plane_ndc, 1);
-    each level quad-packed so a 2x2-cell window is ONE gathered row, all
-    levels concatenated into one table (base=8 keeps it ~1 MB at 1080p,
-    under the TPU gather cliff — PERF.md)."""
+    """Level-0 min map (base x base cells, quad-packed so a 2x2-cell
+    window is ONE gathered row) of R = stored - min(plane_ndc, 1), plus
+    the measured pixel bbox of {R < -eps} — the only region where a
+    window minimum of R can sit below -eps. Two dense reduces; no
+    multi-level chain (stage 1 no longer box-min-gathers)."""
     h, w = prev_depth.shape
     xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
     ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
     plane_tex = plane[0] * xs + plane[1] * ys + plane[2]
     resid = prev_depth - jnp.minimum(plane_tex, 1.0)
 
-    levels = []
-    d = _reduce_min(resid, base)
-    cell = base
-    while True:
-        levels.append((quad_pack(d), cell))
-        if cell >= max(h, w):
-            break
-        d = _reduce_min(d, 2)
-        cell *= 2
-    rows = jnp.concatenate([lv.reshape(-1, 4) for lv, _ in levels])
-    sizes = [lv.shape[:2] for lv, _ in levels]
-    offs = np.cumsum([0] + [sh * sw for sh, sw in sizes[:-1]])
     # f32 slack: texel-eval rounding of the plane (scales with its term
     # magnitudes) + residual subtraction rounding.
     eps = ((jnp.abs(plane[0]) * w + jnp.abs(plane[1]) * h
             + jnp.abs(plane[2])) * 4e-7 + 2e-7)
+
+    # Occluder bbox: row/col "any" reductions -> first/last index. Padded
+    # by the dual-sampler footprint so any q whose footprint touches an
+    # occluder texel tests inside. Empty map -> lo > hi sentinel.
+    occ = resid < -eps
+    col_any = jnp.any(occ, axis=0)
+    row_any = jnp.any(occ, axis=1)
+    any_occ = jnp.any(occ)
+
+    def span(any_vec, n):
+        lo = jnp.argmax(any_vec).astype(jnp.float32)
+        hi = (n - jnp.argmax(any_vec[::-1])).astype(jnp.float32) - 1.0
+        return lo, hi
+
+    x_lo, x_hi = span(col_any, w)
+    y_lo, y_hi = span(row_any, h)
+    pad = FOOT + 1.5
+    big = jnp.float32(w + h)
+    occl_lo = jnp.where(any_occ,
+                        jnp.stack([x_lo, y_lo]) - pad,
+                        jnp.stack([big, big]))
+    occl_hi = jnp.where(any_occ,
+                        jnp.stack([x_hi, y_hi]) + pad,
+                        jnp.stack([-big, -big]))
+
+    d0 = _reduce_min(resid, base)
+    lh, lw = d0.shape
     return ResidualPyramid(
-        rows=rows,
-        offsets=jnp.asarray(offs, jnp.int32),
-        widths=jnp.asarray([sw for _, sw in sizes], jnp.int32),
-        heights=jnp.asarray([sh for sh, _ in sizes], jnp.int32),
-        cells=jnp.asarray([c for _, c in levels], jnp.float32),
-        base=base,
-        plane=plane,
-        eps=eps)
-
-
-def _box_min(pyr: ResidualPyramid, lo: jnp.ndarray,
-             hi: jnp.ndarray) -> jnp.ndarray:
-    """Lower bound of R over the pixel-space box [lo, hi] (already
-    clamped): ONE gathered row from the level whose 2x2 quad-packed cell
-    window covers the box."""
-    n_levels = pyr.cells.shape[0]
-    side = jnp.max(hi - lo, axis=-1)
-    j = jnp.ceil(jnp.log2(jnp.maximum(side, 1.0) / pyr.base))
-    j = jnp.clip(j, 0, n_levels - 1).astype(jnp.int32)
-    oh = (j[..., None] == jnp.arange(n_levels, dtype=jnp.int32))
-    fsel = lambda a: jnp.sum(  # noqa: E731 — one-hot level metadata select
-        jnp.where(oh, a.astype(jnp.float32), 0.0), axis=-1)
-    cell = fsel(pyr.cells)
-    off = fsel(pyr.offsets).astype(jnp.int32)
-    lw = fsel(pyr.widths).astype(jnp.int32)
-    lh = fsel(pyr.heights).astype(jnp.int32)
-
-    cx = jnp.minimum(jnp.floor(lo[..., 0] / cell).astype(jnp.int32), lw - 1)
-    cy = jnp.minimum(jnp.floor(lo[..., 1] / cell).astype(jnp.int32), lh - 1)
-    quad = take_rows(pyr.rows, off + cy * lw + cx)        # (..., 4)
-    return jnp.min(quad, axis=-1)
+        rows=quad_pack(d0).reshape(lh * lw, 4),
+        lw=lw, lh=lh, base=base,
+        plane=plane, eps=eps,
+        occl_lo=occl_lo, occl_hi=occl_hi)
 
 
 def _point_min_l0(pyr: ResidualPyramid, p: jnp.ndarray) -> jnp.ndarray:
     """Lower bound of R over [p - FOOT, p + FOOT]: level-0 cells (base >=
     2*FOOT) always cover a point footprint with one quad window."""
-    lw = pyr.widths[0]
-    lh = pyr.heights[0]
     lo = p - FOOT
     cx = jnp.clip(jnp.floor(lo[..., 0] / pyr.base).astype(jnp.int32),
-                  0, lw - 1)
+                  0, pyr.lw - 1)
     cy = jnp.clip(jnp.floor(lo[..., 1] / pyr.base).astype(jnp.int32),
-                  0, lh - 1)
-    quad = take_rows(pyr.rows, cy * lw + cx)              # (..., 4)
+                  0, pyr.lh - 1)
+    quad = take_rows(pyr.rows, cy * pyr.lw + cx)          # (..., 4)
     return jnp.min(quad, axis=-1)
 
 
@@ -421,24 +419,91 @@ def _probe_bound(pyr: ResidualPyramid, q: jnp.ndarray, size: jnp.ndarray):
     return bound - jnp.where(band, m, 0.0)
 
 
-def _certify_probes(pyr: ResidualPyramid, march_start, march_dir, jitter,
-                    size, min_r):
-    """AND over the 8 linear probes of 'provably no hit': probe out of
-    bounds (skipped by the march) or ray_ndc below the stored-depth lower
-    bound. All-certified rays never intersect, so bisection is moot and
-    the term is exactly 1."""
-    cert = jnp.ones(jitter.shape, bool)
-    for step in range(LINEAR_STEPS):
-        t = (step + jitter) / LINEAR_STEPS
-        cs = march_start + march_dir * t[..., None]
-        uv = cs[..., :2] * 0.5 + 0.5
-        inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
-               & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
-        q = uv * size
-        bound = _probe_bound(pyr, q, size)
-        ok = cs[..., 2] <= bound + min_r - pyr.eps
-        cert = cert & (~inb | ok)
-    return cert
+def _segment_cert(pyr: ResidualPyramid, march_start, march_dir, size):
+    """Whole-segment no-hit certificate for the parts of each march
+    segment OUTSIDE the measured occluder bbox — pure arithmetic, zero
+    gathers, independent of probe jitter.
+
+    Why endpoints suffice: cs_z(t) and plane(q(t)) are both affine in t
+    (q(t) is affine: the segment is already in NDC), so on any interval
+      gap(t) = cs_z(t) - bound(q(t))
+    is affine when bound = plane (footprint below the horizon clamp) or
+    bound = 1, and convex when bound = min(plane, 1) - m (min of affine
+    and constant is concave; negating makes the gap convex) — in every
+    case the max over the interval sits at an endpoint. The intervals
+    outside the bbox are [0, t_in] and [t_out, 1] from a 2D slab test,
+    and outside the bbox min R >= -eps by construction of the bbox.
+
+    Returns (certified, intersects): `certified` = no probe outside the
+    bbox can ever hit; `intersects` = the segment enters the bbox (those
+    probes go to stage 2)."""
+    p0 = (march_start[..., :2] * 0.5 + 0.5) * size
+    p1 = ((march_start[..., :2] + march_dir[..., :2]) * 0.5 + 0.5) * size
+
+    # 2D slab test of the segment against the padded occluder bbox.
+    t_in = jnp.zeros(p0.shape[:-1], jnp.float32)
+    t_out = jnp.ones(p0.shape[:-1], jnp.float32)
+    for axis in range(2):
+        d = p1[..., axis] - p0[..., axis]
+        s = p0[..., axis]
+        safe_d = jnp.where(jnp.abs(d) > 1e-6, d, 1e-6)
+        t1 = (pyr.occl_lo[axis] - s) / safe_d
+        t2 = (pyr.occl_hi[axis] - s) / safe_d
+        lo_t = jnp.minimum(t1, t2)
+        hi_t = jnp.maximum(t1, t2)
+        moving = jnp.abs(d) > 1e-6
+        inside = (s >= pyr.occl_lo[axis]) & (s <= pyr.occl_hi[axis])
+        # parallel-to-axis segments: inside the slab for all t or none
+        t_in = jnp.where(moving, jnp.maximum(t_in, lo_t),
+                         jnp.where(inside, t_in, 2.0))
+        t_out = jnp.where(moving, jnp.minimum(t_out, hi_t),
+                          jnp.where(inside, t_out, -1.0))
+    intersects = (t_in <= t_out) & (t_in <= 1.0) & (t_out >= 0.0)
+    a = jnp.where(intersects, jnp.clip(t_in, 0.0, 1.0), 1.0)
+    b = jnp.where(intersects, jnp.clip(t_out, 0.0, 1.0), 1.0)
+
+    # Gap check at the 4 interval endpoints {0, a} u {b, 1}. Every
+    # per-interval quantity below is constant over the interval, so the
+    # convexity argument in the docstring applies to each case's bound.
+    aa, bb = pyr.plane[0], pyr.plane[1]
+    m = (jnp.abs(aa) + jnp.abs(bb)) * (FOOT + 0.5)
+    thresh = -pyr.eps - pyr.eps
+
+    def endpoint(t):
+        cs_z = march_start[..., 2] + march_dir[..., 2] * t
+        q = p0 + (p1 - p0) * t[..., None]
+        plane_q = aa * q[..., 0] + bb * q[..., 1] + pyr.plane[2]
+        return cs_z, plane_q, q
+
+    def interval_ok(ts, te):
+        z_s, pl_s, q_s = endpoint(ts)
+        z_e, pl_e, q_e = endpoint(te)
+        # Border-band touch per side: each screen coordinate is affine in
+        # t, so its interval min/max sit at the endpoints — the interval
+        # touches a side's band iff an endpoint extreme does.
+        touch = jnp.zeros(ts.shape, bool)
+        for k in range(2):
+            cmin = jnp.minimum(q_s[..., k], q_e[..., k])
+            cmax = jnp.maximum(q_s[..., k], q_e[..., k])
+            touch = touch | (cmin < FOOT) | (cmax > size[k] - FOOT)
+        pen = m + jnp.where(touch, m, 0.0)        # constant per interval
+        # case C (always valid): bound = min(plane,1) - pen, gap convex.
+        okc = ((z_s - (jnp.minimum(pl_s, 1.0) - pen) <= thresh)
+               & (z_e - (jnp.minimum(pl_e, 1.0) - pen) <= thresh))
+        # case A: footprint below the horizon clamp and off the border
+        # for the whole interval -> bilinear reproduces the plane exactly,
+        # bound = plane_q, gap affine.
+        case_a = (jnp.maximum(pl_s, pl_e) + m <= 1.0) & ~touch
+        oka = case_a & (z_s - pl_s <= thresh) & (z_e - pl_e <= thresh)
+        # case B: fully above the clamp -> bound = 1, gap affine.
+        case_b = (jnp.minimum(pl_s, pl_e) - m >= 1.0) & ~touch
+        okb = case_b & (z_s <= 1.0 + thresh) & (z_e <= 1.0 + thresh)
+        return okc | oka | okb
+
+    zeros = jnp.zeros_like(a)
+    ones = jnp.ones_like(a)
+    cert = interval_ok(zeros, a) & interval_ok(b, ones)
+    return cert, intersects
 
 
 def _stage2_certify(pyr: ResidualPyramid, start, direction, jitter,
@@ -462,60 +527,17 @@ def _stage2_certify(pyr: ResidualPyramid, start, direction, jitter,
     return jnp.all(~inb | ok, axis=0)
 
 
-CERT_BLOCK = 4   # stage-1 min-R block side (16x fewer pyramid gathers)
-
-
-def _block_reduce2d(x: jnp.ndarray, bs: int, reduce_fn):
-    """(H, W) -> (H/bs, W/bs) block reduction, row axis first so the
-    minor (lane) dim never relayouts (see shadow_classify._cell_max)."""
-    h, w = x.shape
-    rows = reduce_fn(x.reshape(h // bs, bs, w), axis=1)      # (H/bs, W)
-    return reduce_fn(rows.reshape(h // bs, w // bs, bs), axis=-1)
-
-
-def contact_classify(pyr: ResidualPyramid, march_start, march_dir, jitter,
+def contact_classify(pyr: ResidualPyramid, march_start, march_dir,
                      cand, depth_shape):
-    """Stage-1 dense certification: whole-ray box min-R + analytic
-    per-probe bounds. Returns the stage-2 candidate mask (hit possible).
-
-    The only gather here is the pyramid box-min row. On a 2D pixel
-    domain it is issued once per CERT_BLOCK^2 block over the UNION of the
-    block's (candidate) ray boxes: min-R over a superset box is <= each
-    pixel's own box min, so substituting it per pixel only loosens the
-    certificate (a few extra stage-2 candidates at occluder silhouettes),
-    never unsounds it — and the dense 2M-row serial gather (~10 ms at
-    1080p, PERF.md gather laws) drops 16x. The analytic per-probe bounds
-    stay exact per pixel (pure arithmetic)."""
+    """Stage-1 dense certification: whole-segment convex gap check against
+    the measured occluder bbox (_segment_cert — zero gathers, any batch
+    shape, jitter-independent). Returns the stage-2 candidate mask (hit
+    possible): rays whose segment enters the bbox, or whose out-of-bbox
+    gap check fails (horizon band, screen border, steep receivers)."""
     hd, wd = depth_shape
     size = jnp.asarray([wd, hd], jnp.float32)
-    p0 = (march_start[..., :2] * 0.5 + 0.5) * size
-    p1 = ((march_start[..., :2] + march_dir[..., :2]) * 0.5 + 0.5) * size
-    lo = jnp.clip(jnp.minimum(p0, p1) - FOOT, 0.0, size - 1.0)
-    hi = jnp.clip(jnp.maximum(p0, p1) + FOOT, 0.0, size - 1.0)
-    bs = CERT_BLOCK
-    if (lo.ndim == 3 and lo.shape[0] % bs == 0 and lo.shape[1] % bs == 0):
-        # Non-candidate pixels (sky, back-facing) must not inflate the
-        # union box: mask them to an empty box (their min_r is never
-        # consumed — stage2 = cand & ~cert).
-        big = jnp.asarray([wd + hd, wd + hd], jnp.float32)
-        lo_m = jnp.where(cand[..., None], lo, big)
-        lo_b = jnp.stack([_block_reduce2d(lo_m[..., k], bs, jnp.min)
-                          for k in range(2)], axis=-1)
-        hi_m = jnp.where(cand[..., None], hi, -big)
-        hi_b = jnp.stack([_block_reduce2d(hi_m[..., k], bs, jnp.max)
-                          for k in range(2)], axis=-1)
-        # Empty-union blocks collapse to a degenerate in-range point box
-        # (their min_r is never consumed, it just has to be finite).
-        lo_b = jnp.clip(lo_b, 0.0, size - 1.0)
-        hi_b = jnp.clip(hi_b, 0.0, size - 1.0)
-        hi_b = jnp.maximum(hi_b, lo_b)
-        min_r_b = _box_min(pyr, lo_b, hi_b)                # (H/bs, W/bs)
-        min_r = jnp.repeat(jnp.repeat(min_r_b, bs, axis=0), bs, axis=1)
-    else:
-        min_r = _box_min(pyr, lo, hi)
-    cert = _certify_probes(pyr, march_start, march_dir, jitter, size,
-                           min_r)
-    return cand & ~cert
+    cert, intersects = _segment_cert(pyr, march_start, march_dir, size)
+    return cand & (intersects | ~cert)
 
 
 def contact_occupancy(world: jnp.ndarray, normal: jnp.ndarray,
@@ -535,7 +557,7 @@ def contact_occupancy(world: jnp.ndarray, normal: jnp.ndarray,
     cand = facing & on_screen
     if valid is not None:
         cand = cand & valid
-    stage2 = contact_classify(pyr, march_start, march_dir, jitter, cand,
+    stage2 = contact_classify(pyr, march_start, march_dir, cand,
                               prev_depth.shape)
     cert2 = _stage2_certify(pyr, march_start, march_dir, jitter, size)
     return {"_stage2": stage2,  # raw mask (block-occupancy diagnostics)
@@ -594,7 +616,7 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
     if valid is not None:
         cand = cand & valid
 
-    stage2 = contact_classify(pyr, march_start, march_dir, jitter, cand,
+    stage2 = contact_classify(pyr, march_start, march_dir, cand,
                               prev_depth.shape)
 
     # Stage-2 pixels cluster around real occluders: two-level compaction
