@@ -192,7 +192,10 @@ def main():
                 capacity=cfg.contact_capacity,
                 march_capacity=cfg.contact_march_capacity,
                 valid=gbuf.valid,
-                block_capacity=cfg.contact_block_capacity, frag=frag)
+                block_capacity=cfg.contact_block_capacity, frag=frag,
+                plane=contact.reference_plane(
+                    scene.positions, scene.tri_indices,
+                    uni.prev_view_proj, cfg.width, cfg.height))
             shadow_term = jnp.minimum(shadow_term, contact_term)
             bits.append(jnp.sum(shadow_term[::97, ::97]))
             if k < 10:

@@ -489,7 +489,10 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                 capacity=cfg.contact_capacity,
                 march_capacity=cfg.contact_march_capacity,
                 valid=gbuf.valid,
-                block_capacity=cfg.contact_block_capacity, frag=frag)
+                block_capacity=cfg.contact_block_capacity, frag=frag,
+                plane=contact.reference_plane(
+                    scene.positions, scene.tri_indices,
+                    uni.prev_view_proj, cfg.width, cfg.height))
         else:
             contact_term = contact.compute_contact_shadow(
                 gbuf.world, normal, uni, state.prev_depth, y0, frag=frag)
@@ -704,7 +707,10 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                 world_s, normal_s, uni_s, depth_s, y0_s,
                 capacity=cfg.contact_capacity,
                 march_capacity=cfg.contact_march_capacity, valid=valid_s,
-                block_capacity=cfg.contact_block_capacity, frag=frag_s)
+                block_capacity=cfg.contact_block_capacity, frag=frag_s,
+                plane=contact.reference_plane(
+                    scene.positions, scene.tri_indices,
+                    uni_s.prev_view_proj, cfg.width, cfg.height))
     else:
         def contact_fn(world_s, normal_s, uni_s, depth_s, y0_s, valid_s,
                        frag_s=None):

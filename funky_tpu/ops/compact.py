@@ -58,19 +58,25 @@ def compact_indices(mask: jnp.ndarray, capacity: int,
     flat = mask.ravel()
     n = flat.shape[0]
     capacity = min(capacity, n)
+    count = jnp.sum(flat, dtype=jnp.int32)
     if group_key is None:
         # Stable argsort of (not mask): True (0) sorts first, stable keeps
         # raster order.
         order = jnp.argsort(~flat, stable=True)
     else:
         # Stable argsort on the key alone keeps raster order within a key
-        # with no composite-key range limit (keys only need to stay below
-        # INT32_MAX, the padding key for masked-out elements).
-        key = jnp.where(flat, group_key.ravel(),
-                        jnp.int32(jnp.iinfo(jnp.int32).max))
+        # with no composite-key range limit — EXCEPT the padding key
+        # itself: a selected element whose key is INT32_MAX would
+        # interleave with padding and silently select wrong elements, so
+        # that case forces `count` past any capacity and every caller's
+        # overflow lax.cond takes its exact dense fallback instead
+        # (tests/test_sparse_shadow.py::test_group_key_collision_overflows).
+        pad_key = jnp.int32(jnp.iinfo(jnp.int32).max)
+        gk = group_key.ravel()
+        key = jnp.where(flat, gk, pad_key)
         order = jnp.argsort(key, stable=True)
+        count = jnp.where(jnp.any(flat & (gk == pad_key)), pad_key, count)
     order = order[:capacity].astype(jnp.int32)
-    count = jnp.sum(flat, dtype=jnp.int32)
     slot_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
         count, capacity)
     return Compacted(idx=jnp.where(slot_valid, order, -1),
@@ -145,14 +151,18 @@ def compact_indices_blocked(mask: jnp.ndarray, capacity: int,
     m = take_rows(flat, cand_safe) & cand_valid
     n_cand = cand.shape[0]
     capacity = min(capacity, n_cand)
+    count = jnp.sum(flat, dtype=jnp.int32)
     if group_key is None:
         order = jnp.argsort(~m, stable=True)
     else:
+        # INT32_MAX group keys collide with the padding key — force the
+        # callers' overflow fallback (see compact_indices).
+        pad_key = jnp.int32(jnp.iinfo(jnp.int32).max)
         gk = group_key.ravel()[cand_safe]
-        key = jnp.where(m, gk, jnp.int32(jnp.iinfo(jnp.int32).max))
+        key = jnp.where(m, gk, pad_key)
         order = jnp.argsort(key, stable=True)
+        count = jnp.where(jnp.any(m & (gk == pad_key)), pad_key, count)
     order = order[:capacity]
-    count = jnp.sum(flat, dtype=jnp.int32)
     slot_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
         count, capacity)
     comp = Compacted(idx=jnp.where(slot_valid, cand[order], -1),

@@ -302,6 +302,48 @@ def _reduce_min(d: jnp.ndarray, f: int) -> jnp.ndarray:
     return rows.reshape(hp // f, wp // f, f).min(axis=-1)
 
 
+def reference_plane(positions: jnp.ndarray, tri_indices: jnp.ndarray,
+                    view_proj: jnp.ndarray, width: int,
+                    height: int) -> jnp.ndarray:
+    """Residual reference plane [a, b, c] = the screen-space z-plane the
+    RASTERIZER itself uses for the ground (the scene's first triangle,
+    object 0, identity model — models/scene.py packs the ground quad
+    first), under `view_proj` — recomputed through the very same
+    triangle_setup_corners math (ops/binning.py), so ground residuals
+    R = depth - plane are ~0 by construction (fma-regrouping ulps only).
+
+    The quad's second triangle renders a plane that differs from the
+    first by f32 setup rounding (~4e-7 measured at 1080p); the returned
+    plane is tri 0's shifted DOWN by the exact worst-case screen-corner
+    gap to tri 1's, so R >= -(eval noise) on BOTH halves.
+
+    Why not fit from projected points (fit_ground_plane below)? A fit
+    reproduces the TRUE plane, but the depth buffer holds the RASTERIZED
+    plane — the two differ by up to ~1.4e-6 at 1080p (measured,
+    experiments/contact_plane_probe.py), which is past the certificate's
+    f32 slack and turned most of the ground into "occluder" bbox.
+
+    Degenerate references (triangle behind the camera / zero area) yield
+    a useless-but-sound plane: the certificate stops retiring, stages
+    2-3 still bound the cost."""
+    from ..ops.binning import triangle_setup_corners
+
+    corners = positions[tri_indices[:2]]                   # (2, 3, 3)
+    ones = jnp.ones((2, 3, 1), jnp.float32)
+    tri_clip = jnp.concatenate([corners, ones], axis=-1) @ view_proj.T
+    setup = triangle_setup_corners(tri_clip, width, height)
+    zp = setup.data[:, 9:12]                               # (2, 3)
+    plane = jnp.where(setup.valid[0], zp[0], zp[1])
+    both = setup.valid[0] & setup.valid[1]
+    # exact affine extremum of (p0 - p1) over the screen rectangle
+    d = zp[0] - zp[1]
+    cx = jnp.asarray([0.0, float(width)], jnp.float32)
+    cy = jnp.asarray([0.0, float(height)], jnp.float32)
+    gap = jnp.max(d[0] * cx[:, None] + d[1] * cy[None, :] + d[2])
+    shift = jnp.where(both, jnp.maximum(gap, 0.0), 0.0)
+    return plane - jnp.stack([jnp.zeros(()), jnp.zeros(()), shift])
+
+
 def fit_ground_plane(view_proj: jnp.ndarray, width: int, height: int,
                      camera_pos: jnp.ndarray,
                      plane_y: float = 0.0) -> jnp.ndarray:
@@ -542,14 +584,19 @@ def contact_classify(pyr: ResidualPyramid, march_start, march_dir,
 
 def contact_occupancy(world: jnp.ndarray, normal: jnp.ndarray,
                       uni: FrameUniforms, prev_depth: jnp.ndarray, y0=0,
-                      valid: jnp.ndarray | None = None):
+                      valid: jnp.ndarray | None = None,
+                      plane: jnp.ndarray | None = None):
     """Diagnostic: dense per-stage counts for sizing
     GltfConfig.contact_capacity / contact_march_capacity (run offline;
-    the stage-2 refine is evaluated densely here)."""
+    the stage-2 refine is evaluated densely here). Pass the SAME `plane`
+    the frame passes (reference_plane) or capacities get sized for a
+    different stage-2 set."""
     h, w = world.shape[:2]
     hd, wd = prev_depth.shape
     size = jnp.asarray([wd, hd], jnp.float32)
-    plane = fit_ground_plane(uni.prev_view_proj, wd, hd, uni.camera_pos)
+    if plane is None:
+        plane = fit_ground_plane(uni.prev_view_proj, wd, hd,
+                                 uni.camera_pos)
     pyr = build_residual_pyramid(prev_depth, plane)
     march_start, march_dir, on_screen, facing = _ray_setup(world, normal,
                                                            uni)
@@ -572,7 +619,8 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
                                   march_capacity: int | None = None,
                                   valid: jnp.ndarray | None = None,
                                   block_capacity: int | None = None,
-                                  frag: jnp.ndarray | None = None
+                                  frag: jnp.ndarray | None = None,
+                                  plane: jnp.ndarray | None = None
                                   ) -> jnp.ndarray:
     """Sparse-exact contact shadows: identical outputs to
     compute_contact_shadow where `valid` (geometry coverage — sky pixels'
@@ -599,7 +647,12 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
 
     depth_packed = jax.lax.optimization_barrier(quad_pack(prev_depth))
     # The residual plane belongs to prev_depth's frame: prev_view_proj.
-    plane = fit_ground_plane(uni.prev_view_proj, wd, hd, uni.camera_pos)
+    # Callers pass reference_plane (the rasterizer's own ground z-plane);
+    # the point fit is a fallback whose residual noise (~1.4e-6 at 1080p)
+    # de-certifies most of the ground — see reference_plane's docstring.
+    if plane is None:
+        plane = fit_ground_plane(uni.prev_view_proj, wd, hd,
+                                 uni.camera_pos)
     pyr = build_residual_pyramid(prev_depth, plane)
 
     march_start, march_dir, on_screen, facing = _ray_setup(world, normal,

@@ -77,7 +77,10 @@ def sparse_occupancy(scene, params, state, cfg):
 
     stats.update(contact.contact_occupancy(
         sub(g.world), sub(normal), uni, state.prev_depth,
-        valid=sub(g.valid)))
+        valid=sub(g.valid),
+        plane=contact.reference_plane(scene.positions, scene.tri_indices,
+                                      uni.prev_view_proj, cfg.width,
+                                      cfg.height)))
 
     # 8x8 candidate-block counts for the two-level compactions
     def blocks_of(mask):

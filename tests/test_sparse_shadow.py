@@ -84,6 +84,37 @@ def test_compact_group_keys_near_int32_max():
         assert (np.diff(grp) > 0).all()
 
 
+def test_group_key_collision_overflows():
+    """A selected element whose group key equals INT32_MAX (the padding
+    key) cannot be distinguished from padding — compaction must FORCE the
+    callers' overflow check to fail (count > any capacity) so their
+    lax.cond takes the exact dense fallback, instead of silently
+    selecting wrong elements (VERDICT r3 item 9)."""
+    from funky_tpu.ops.compact import compact_indices_blocked
+
+    n = 256
+    mask_np = np.zeros(n, bool)
+    mask_np[7] = mask_np[100] = True
+    key_np = np.zeros(n, np.int32)
+    key_np[100] = np.iinfo(np.int32).max
+    comp = compact_indices(jnp.asarray(mask_np), capacity=64,
+                           group_key=jnp.asarray(key_np))
+    assert int(comp.count) > 64              # forces the fallback branch
+
+    blocked = compact_indices_blocked(
+        jnp.asarray(mask_np).reshape(16, 16), 64, 8, 8, 8,
+        group_key=jnp.asarray(key_np).reshape(16, 16))
+    assert int(blocked.comp.count) > 64
+
+    # Benign keys (including INT32_MAX - 1) stay exact.
+    key_np[100] = np.iinfo(np.int32).max - 1
+    comp = compact_indices(jnp.asarray(mask_np), capacity=64,
+                           group_key=jnp.asarray(key_np))
+    assert int(comp.count) == 2
+    sel = np.asarray(comp.idx)[np.asarray(comp.slot_valid)]
+    assert sorted(sel) == [7, 100]
+
+
 # ---------------------------------------------------------------------------
 # Classification soundness: conservative by construction, checked by brute
 # force on random maps.
