@@ -46,15 +46,28 @@ class FrameDriver:
                  device_scene: Optional[DeviceScene] = None,
                  enable_ui: bool = True,
                  sanitize: bool = False,
-                 autotune: bool = False) -> None:
+                 autotune: bool = True,
+                 retune_check_every: int = 240,
+                 retune_after: int = 2) -> None:
         # sanitize: per-frame NaN/Inf guard over outputs (utils/sanitize;
         # the validation-layer analogue — costs a host sync, debug only)
         # autotune: measure this scene's occupancy at startup and tighten
-        # every sparse capacity (utils/autotune) — the production default
-        # for real scenes; off for tests/tiny configs where the tuning
-        # frames outweigh the savings.
+        # every sparse capacity (utils/autotune) — the production default;
+        # pass False for tests/tiny configs where the tuning frames
+        # outweigh the savings. While on, the driver also re-checks
+        # occupancy every `retune_check_every` frames: a view change that
+        # overflows a capacity pins every frame to the exact-but-dense
+        # fallback, so after `retune_after` consecutive overflowing checks
+        # it re-derives the config (cached re-jit) instead of staying slow
+        # until restart.
         self.cfg = cfg
         self.sanitize = sanitize
+        self.autotune = autotune
+        self.retune_check_every = retune_check_every
+        self.retune_after = retune_after
+        self._overflow_strikes = 0
+        self._occ_fn = None
+        self.retune_count = 0
         self.world = ecs.World()
         self.world.insert_resource(ecs.FrameTiming())
         self.world.insert_resource(ecs.PerformanceStats())
@@ -168,7 +181,49 @@ class FrameDriver:
         self._last_image = image
         self.frame_count += 1
         self.fps.tick()
+        if (self.autotune and self.retune_check_every
+                and self.frame_count % self.retune_check_every == 0):
+            self._maybe_retune(params)
         return image
+
+    def _maybe_retune(self, params: GltfParams) -> None:
+        """Runtime half of autotune: probe the current view's occupancy
+        (one partial-frame dispatch — front half + classification, no
+        taps) and re-derive the sparse capacities after `retune_after`
+        consecutive overflowing checks. Overflow frames are EXACT (every
+        consumer lax.cond-falls back to its dense path) — this only
+        recovers the sparse speed."""
+        import numpy as np
+
+        from ..utils.autotune import capacity_overflows, derive_sparse_config
+        from ..utils.diagnostics import sparse_occupancy
+
+        try:
+            if self._occ_fn is None:
+                self._occ_fn = jax.jit(sparse_occupancy,
+                                       static_argnums=(3,))
+            stats = self._occ_fn(self.device_scene, params, self.state,
+                                 self.cfg)
+            occ = {k: (int(v) if np.asarray(v).size == 1
+                       else tuple(int(x) for x in np.asarray(v).ravel()))
+                   for k, v in stats.items()}
+            over = capacity_overflows(self.cfg, occ)
+        except Exception as e:  # diagnostics must never kill the loop
+            print(f"occupancy probe failed ({e}); skipping retune check")
+            return
+        if not over:
+            self._overflow_strikes = 0
+            return
+        self._overflow_strikes += 1
+        if self._overflow_strikes < self.retune_after:
+            return
+        self._overflow_strikes = 0
+        self.retune_count += 1
+        print(f"re-autotune #{self.retune_count}: {', '.join(over)} "
+              f"overflowed; re-deriving capacities")
+        self.cfg = derive_sparse_config(self.cfg, occ)
+        self._frame_fn = compiled_gltf_frame(self.cfg)
+        self._occ_fn = None  # cfg is a static arg; drop the stale jit
 
     def resize(self, width: int, height: int) -> None:
         """Swapchain-recreation equivalent: re-jit at the new extent and

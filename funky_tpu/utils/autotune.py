@@ -80,6 +80,12 @@ def tune_sparse_capacities(scene, params, cfg, frames: int = 2):
     from .diagnostics import measure_sparse_occupancy
 
     occ = measure_sparse_occupancy(scene, params, cfg, frames=frames)
+    return derive_sparse_config(cfg, occ), occ
+
+
+def derive_sparse_config(cfg, occ):
+    """Occupancy counts -> tightened sparse capacities (shared by the
+    startup tune and FrameDriver's runtime re-tune)."""
 
     def blocks128(count, headroom=1.3):
         return max(_round_up(count * headroom, 128), 128)
@@ -127,7 +133,41 @@ def tune_sparse_capacities(scene, params, cfg, frames: int = 2):
         contact_block_capacity=blocks128(occ["contact_blocks"]),
         valid_slab_rows=span_rows if use_slab else 0,
         valid_block_capacity=(0 if use_slab else
-                              blocks128(occ["valid_blocks"], 1.2))), occ
+                              blocks128(occ["valid_blocks"], 1.2)))
+
+
+def capacity_overflows(cfg, occ) -> list:
+    """Names of sparse capacities the measured occupancy exceeds — the
+    same conditions whose in-frame lax.cond takes the exact-but-dense
+    fallback. FrameDriver polls this every few hundred frames and
+    re-derives the config when a view change pins frames to the fallback
+    (autotune.py's runtime half; see FrameDriver._maybe_retune)."""
+    over = []
+
+    def chk(name, count, cap):
+        if cap is not None and count > cap:
+            over.append(name)
+
+    chk("shadow_pen_capacity", occ["pairs"], cfg.shadow_pen_capacity)
+    if cfg.shadow_pen_cascade_caps is not None:
+        for c, (n, cap) in enumerate(zip(occ["pairs_per_cascade"],
+                                         cfg.shadow_pen_cascade_caps)):
+            chk(f"shadow_pen_cascade_caps[{c}]", n, cap)
+    chk("shadow_pen_block_capacity", occ["pair_blocks"],
+        cfg.shadow_pen_block_capacity)
+    chk("contact_capacity", occ["contact_stage2"], cfg.contact_capacity)
+    chk("contact_march_capacity", occ["contact_march"],
+        cfg.contact_march_capacity)
+    chk("contact_block_capacity", occ["contact_blocks"],
+        cfg.contact_block_capacity)
+    chk("texture_block_capacity", occ["texture_blocks"],
+        cfg.effective_texture_blocks)
+    if cfg.valid_slab_rows:
+        chk("valid_slab_rows", occ["valid_row_span"], cfg.valid_slab_rows)
+    elif cfg.valid_block_capacity:
+        chk("valid_block_capacity", occ["valid_blocks"],
+            cfg.valid_block_capacity)
+    return over
 
 
 def autotune_config(scene, params, cfg, frames: int = 2, verbose=False):

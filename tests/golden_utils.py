@@ -109,7 +109,7 @@ def render_duck_ui():
     tile = RasterConfig(tile_h=16, tile_w=128, capacity=4352, backend="jnp")
     cfg = GltfConfig(width=448, height=256, shadow_map_size=256,
                      raster=tile, shadow_raster=tile)
-    drv = FrameDriver(cfg, scene_path=str(DUCK))
+    drv = FrameDriver(cfg, scene_path=str(DUCK), autotune=False)
     for _ in range(2):
         drv.step()
     # readback() returns sRGB; goldens store linear -> round-trip back.

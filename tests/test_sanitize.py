@@ -42,7 +42,7 @@ def test_driver_sanitize_mode():
                      raster=tile, shadow_raster=tile,
                      flags=GltfFrameFlags(enable_shadows=False,
                                           enable_contact_shadows=False))
-    drv = FrameDriver(cfg, sanitize=True, enable_ui=False)
+    drv = FrameDriver(cfg, sanitize=True, enable_ui=False, autotune=False)
     drv.step()                                    # clean frame passes
     # poison the carried state -> the guard must catch it on the next step
     drv.state = drv.state._replace(

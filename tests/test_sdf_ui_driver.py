@@ -105,7 +105,7 @@ def test_driver_end_to_end(duck_gltf_path):
     tile = RasterConfig(tile_h=16, tile_w=128, capacity=512, backend="jnp")
     cfg = GltfConfig(width=256, height=128, shadow_map_size=128,
                      raster=tile, shadow_raster=tile)
-    drv = FrameDriver(cfg, scene_path=duck_gltf_path)
+    drv = FrameDriver(cfg, scene_path=duck_gltf_path, autotune=False)
     drv.step()
     drv.step(keys=[Keys.W, Keys.LEFT])
     img = drv.readback()
@@ -135,13 +135,13 @@ def test_driver_save_load_state(duck_gltf_path, tmp_path):
     tile = RasterConfig(tile_h=16, tile_w=128, capacity=512, backend="jnp")
     cfg = GltfConfig(width=256, height=128, shadow_map_size=128,
                      raster=tile, shadow_raster=tile)
-    a = FrameDriver(cfg, scene_path=duck_gltf_path)
+    a = FrameDriver(cfg, scene_path=duck_gltf_path, autotune=False)
     a.step(keys=[Keys.W])
     a.step(keys=[Keys.LEFT])
     a.save_state(tmp_path / "session.ckpt")
     img_next_a = np.asarray(a.step())
 
-    b = FrameDriver(cfg, scene_path=duck_gltf_path)
+    b = FrameDriver(cfg, scene_path=duck_gltf_path, autotune=False)
     b.load_state(tmp_path / "session.ckpt")
     img_next_b = np.asarray(b.step())
     np.testing.assert_array_equal(img_next_a, img_next_b)
@@ -184,7 +184,7 @@ def test_driver_failure_escalation(duck_gltf_path):
     tile = RasterConfig(tile_h=16, tile_w=128, capacity=512, backend="jnp")
     cfg = GltfConfig(width=128, height=64, shadow_map_size=64,
                      raster=tile, shadow_raster=tile)
-    drv = FrameDriver(cfg, scene_path=duck_gltf_path, enable_ui=False)
+    drv = FrameDriver(cfg, scene_path=duck_gltf_path, enable_ui=False, autotune=False)
     drv.step()
     good_fn = drv._frame_fn
 
@@ -216,3 +216,39 @@ def test_shadow_raster_default_capacity_is_safe():
     from funky_tpu.passes.shadow import SHADOW_RASTER_CFG
 
     assert SHADOW_RASTER_CFG.capacity is None
+
+
+def test_driver_runtime_retune(duck_gltf_path):
+    """A view whose occupancy overflows a sparse capacity pins frames to
+    the exact-but-dense fallback; the driver's periodic occupancy check
+    must re-derive the capacities (autotune's runtime half) instead of
+    staying slow until restart."""
+    import dataclasses
+
+    from funky_tpu.app.driver import FrameDriver
+    from funky_tpu.frame import GltfConfig
+    from funky_tpu.ops.raster import RasterConfig
+
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=512, backend="jnp")
+    cfg = GltfConfig(width=256, height=128, shadow_map_size=128,
+                     raster=tile, shadow_raster=tile)
+    drv = FrameDriver(cfg, scene_path=duck_gltf_path, enable_ui=False,
+                      autotune=False)
+    drv.step()  # prev_depth becomes real for the contact occupancy probe
+
+    # Simulate a post-view-change overflow: clamp the pair capacity far
+    # below this view's true pair count (frames stay EXACT — the in-frame
+    # lax.cond takes the dense path — just slow).
+    drv.autotune = True
+    drv.retune_check_every = 1
+    drv.retune_after = 2
+    drv.cfg = dataclasses.replace(drv.cfg, shadow_pen_capacity=1)
+
+    drv.step()                     # strike 1: overflow seen, no retune yet
+    assert drv.retune_count == 0 and drv._overflow_strikes == 1
+    drv.step()                     # strike 2: re-derive + cached re-jit
+    assert drv.retune_count == 1
+    assert drv.cfg.shadow_pen_capacity > 1
+    img = np.asarray(drv.step())   # renders fine under the retuned config
+    assert np.isfinite(img).all()
+    assert drv._overflow_strikes == 0

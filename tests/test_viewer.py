@@ -17,7 +17,7 @@ def viewer():
                      raster=tile, shadow_raster=tile,
                      flags=GltfFrameFlags(enable_shadows=False,
                                           enable_contact_shadows=False))
-    drv = FrameDriver(cfg)          # ground-only scene
+    drv = FrameDriver(cfg, autotune=False)  # ground-only scene
     return TerminalViewer(drv, cols=32, fullscreen_size=(256, 160))
 
 
