@@ -171,6 +171,32 @@ class GltfFrameFlags:
     # as a bool alias for scale=2. Default = exact reference rates.
     half_res_shadows: bool = False
     shadow_eval_scale: int = 1
+    # Dense light-space PCSS/PCF for ground-plane receivers
+    # (passes/shadow_lightspace.py): most penumbra pixels lie on the
+    # ground, whose receiver depth is affine in shadow uv, so their whole
+    # tap core runs densely over a light-space window with ZERO gathers
+    # and each pixel fetches one precomputed row. A documented perf
+    # DEVIATION (texel-center snap, spatially-constant Vogel rotation,
+    # PCF radius ladder) — default off; the exact path is the parity
+    # reference. Requires sparse_shadows.
+    light_space_ground_shadows: bool = False
+    # Skip shadow taps + contact marches for BACK-FACING pixels
+    # (n_dot_l <= 0): the shadow term only ever multiplies
+    # `0.65 * max(n_dot_l, 0) * shadow` (gltf.frag:611-614 /
+    # passes/shading.py), so their shadow value cannot affect this
+    # frame's image — the only deviation is the TAA history they carry
+    # into future frames (they store "lit" instead of the real moments).
+    # Perf mode, default off.
+    skip_backfacing_shadows: bool = False
+    # Synthesized cascade maps (passes/shadow.synthesize_shadow_maps):
+    # analytic ground plane over the full map + a rasterized occluder
+    # footprint window — replaces ~12 ms of 4x2048^2 depth raster with
+    # dense VPU math + a tiny window raster. ~1-ulp-class deviation
+    # (plane-fit rounding, quad-rim texel rule); an occluder outgrowing
+    # its window lax.cond-falls back to the full raster. Perf mode,
+    # default off; requires sparse_shadows (shares the footprint
+    # windows).
+    synth_shadow_maps: bool = False
 
     @property
     def effective_shadow_scale(self) -> int:
@@ -248,6 +274,20 @@ class GltfConfig:
     # blocks); 0 = dense back half. Overflow falls back to the dense
     # back half via lax.cond (exact either way).
     valid_block_capacity: int | None = None
+    # Light-space ground-shadow windows
+    # (flags.light_space_ground_shadows): per-cascade static window sizes
+    # in texels (0 = that cascade keeps exact taps); None = auto 512 each.
+    # The window is placed on the scene's shadow-footprint bbox in-frame;
+    # ground penumbra pixels falling OUTSIDE a window simply stay on the
+    # exact tap path (no cliff). Sized by autotune from the measured
+    # footprint extent.
+    light_window_sizes: tuple | None = None
+    # per-cascade fetch-entry capacities (compaction segments); None =
+    # shadow_pen_capacity each. Sized by autotune.
+    light_fetch_caps: tuple | None = None
+    # PCF radius-ladder rungs for the dense PCSS window (log-spaced over
+    # the exact penumbra clamp range [0.5, 2*lightSize]).
+    light_pcf_rungs: int = 6
     # Valid-ROW-slab back half: geometry coverage is a contiguous row band
     # [horizon, bottom] in practice, so the whole per-pixel back half can
     # run on a dynamic_slice'd row slab instead of the full frame — the
@@ -279,6 +319,17 @@ class GltfConfig:
         if self.valid_block_capacity is not None:
             return min(self.valid_block_capacity, nb)
         return min(max(-(-nb * 3 // 4 // 128) * 128, 128), nb)
+
+    def effective_light_windows(self) -> tuple | None:
+        """Per-cascade light-space window sizes, or None when the dense
+        ground evaluation is off (it rides the sparse classification)."""
+        if not ((self.flags.light_space_ground_shadows
+                 or self.flags.synth_shadow_maps)
+                and self.flags.sparse_shadows):
+            return None
+        sizes = (self.light_window_sizes if self.light_window_sizes
+                 is not None else (512, 512, 512, 512))
+        return tuple(min(s, self.shadow_map_size) for s in sizes)
 
     def effective_slab_rows(self, h: int) -> int | None:
         """Row-slab height for an h-row domain; None = row slab disabled
@@ -400,7 +451,8 @@ def _raw_frame_uniforms(params, state, cfg, flags):
 
 def shade_slab(scene: DeviceScene, uni, state: FrameState,
                shadow_maps, tri_id, depth, setup_data, blocks,
-               cfg: GltfConfig, y0=0, class_maps=None, tri_flags=None):
+               cfg: GltfConfig, y0=0, class_maps=None, tri_flags=None,
+               light_maps=None):
     """Per-pixel back half of the frame for a row slab [y0, y0+h):
     deferred attributes -> cascade shadow filtering -> TAA -> contact
     shadows -> final shading (gltf.frag main). Pure; the single-chip frame
@@ -431,19 +483,20 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
     if srows is not None:
         return _shade_slab_rows(scene, uni, state, shadow_maps, tri_id,
                                 depth, setup_data, blocks, cfg, y0,
-                                class_maps, tri_flags, srows)
+                                class_maps, tri_flags, srows, light_maps)
     bcap = cfg.effective_valid_blocks(h, w)
     if bcap is not None and flags.effective_shadow_scale == 1:
         return _shade_slab_blocked(scene, uni, state, shadow_maps, tri_id,
                                    depth, setup_data, blocks, cfg, y0,
-                                   class_maps, tri_flags, bcap)
+                                   class_maps, tri_flags, bcap, light_maps)
     return _shade_slab_dense(scene, uni, state, shadow_maps, tri_id,
                              depth, setup_data, blocks, cfg, y0,
-                             class_maps, tri_flags)
+                             class_maps, tri_flags, light_maps)
 
 
 def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
-                gbuf, frag, cfg: GltfConfig, class_maps, old_history, y0):
+                gbuf, frag, cfg: GltfConfig, class_maps, old_history, y0,
+                light_maps=None):
     """The per-pixel back half on ANY domain shape (flat block-major for
     the blocked path): shadow filter -> TAA -> contact -> final shading.
     `frag` holds pixel centers (x+0.5 convention) in GLOBAL framebuffer
@@ -465,7 +518,8 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                 uni, shadow_maps, class_maps, gbuf.world, normal, n_dot_l,
                 view_depth, frag, flags.use_pcss, gbuf.valid,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
-                cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows)
+                cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows,
+                light_maps, flags.skip_backfacing_shadows)
         else:
             sres, c0, c1, ct = shadow_filter.cascaded_shadow(
                 uni, shadow_maps, gbuf.world, normal, n_dot_l, view_depth,
@@ -482,13 +536,17 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
         sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa,
         full_height=cfg.height, frag=frag, full_width=cfg.width)
 
+    # Back-facing pixels can't show a contact shadow either (same
+    # max(n_dot_l, 0) gate) — skip their marches in the perf mode.
+    cvalid = (gbuf.valid & (n_dot_l > 0.0)
+              if flags.skip_backfacing_shadows else gbuf.valid)
     if flags.enable_contact_shadows:
         if flags.sparse_contact:
             contact_term = contact.compute_contact_shadow_sparse(
                 gbuf.world, normal, uni, state.prev_depth, y0,
                 capacity=cfg.contact_capacity,
                 march_capacity=cfg.contact_march_capacity,
-                valid=gbuf.valid,
+                valid=cvalid,
                 block_capacity=cfg.contact_block_capacity, frag=frag,
                 plane=contact.reference_plane(
                     scene.positions, scene.tri_indices,
@@ -518,7 +576,7 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
 def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
                      shadow_maps, tri_id, depth, setup_data, blocks,
                      cfg: GltfConfig, y0, class_maps, tri_flags,
-                     slab_h: int):
+                     slab_h: int, light_maps=None):
     """Valid-ROW-slab back half: geometry coverage is (in practice) one
     contiguous row band [horizon, bottom], so the whole dense back half
     runs on a dynamic_slice'd (slab_h, W) slab at the first covered row —
@@ -555,7 +613,7 @@ def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
         dep_s = jax.lax.dynamic_slice(depth, (y0d, 0), (slab_h, w))
         rgba_s, hist_s = _shade_slab_dense(
             scene, uni, state, shadow_maps, tri_s, dep_s, setup_data,
-            blocks, cfg, y0_arr + y0d, class_maps, tri_flags)
+            blocks, cfg, y0_arr + y0d, class_maps, tri_flags, light_maps)
         background = jnp.asarray(GLTF_CLEAR + (1.0,), jnp.float32)
         rgba = jax.lax.dynamic_update_slice(
             jnp.broadcast_to(background, (h, w, 4)), rgba_s, (y0d, 0, 0))
@@ -567,7 +625,7 @@ def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
     def dense(_):
         return _shade_slab_dense(scene, uni, state, shadow_maps, tri_id,
                                  depth, setup_data, blocks, cfg, y0,
-                                 class_maps, tri_flags)
+                                 class_maps, tri_flags, light_maps)
 
     return jax.lax.cond(fits, slab, dense, operand=None)
 
@@ -575,7 +633,7 @@ def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
 def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
                         shadow_maps, tri_id, depth, setup_data, blocks,
                         cfg: GltfConfig, y0, class_maps, tri_flags,
-                        bcap: int):
+                        bcap: int, light_maps=None):
     """The unified valid-block back half (the TPU answer to the GPU only
     launching fragments where the raster emitted them, gltf.frag:1-656
     running once per COVERED pixel): compact 8x8 blocks with any coverage,
@@ -613,7 +671,8 @@ def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
         gbuf = deferred.interpolate_at(tri_e, depth_e, setup_data, blocks,
                                        tri_flags, pxf, pyf)
         rgba_e, hist_e = _shade_core(scene, uni, state, shadow_maps, gbuf,
-                                     frag, cfg, class_maps, old_hist_e, y0)
+                                     frag, cfg, class_maps, old_hist_e, y0,
+                                     light_maps)
 
         background = jnp.asarray(GLTF_CLEAR + (1.0,), jnp.float32)
         base = jnp.concatenate([
@@ -625,7 +684,7 @@ def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
     def dense(_):
         return _shade_slab_dense(scene, uni, state, shadow_maps, tri_id,
                                  depth, setup_data, blocks, cfg, y0,
-                                 class_maps, tri_flags)
+                                 class_maps, tri_flags, light_maps)
 
     return jax.lax.cond(bc.fits, blocked, dense, operand=None)
 
@@ -633,7 +692,7 @@ def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
 def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                       shadow_maps, tri_id, depth, setup_data, blocks,
                       cfg: GltfConfig, y0=0, class_maps=None,
-                      tri_flags=None):
+                      tri_flags=None, light_maps=None):
     """Dense 2D back half — the blocked path's overflow fallback, the
     shadow_eval_scale > 1 perf mode, and the bit-parity reference."""
     flags = cfg.flags
@@ -671,7 +730,8 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                 uni, shadow_maps, class_maps, world_s, normal_s, ndl_s,
                 vdepth_s, frag_s, flags.use_pcss, valid_s,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
-                cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows)
+                cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows,
+                light_maps, flags.skip_backfacing_shadows)
         return shadow_filter.cascaded_shadow(
             uni, shadow_maps, world_s, normal_s, ndl_s, vdepth_s, frag_s,
             flags.use_pcss)
@@ -716,17 +776,21 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                        frag_s=None):
             return contact.compute_contact_shadow(world_s, normal_s, uni_s,
                                                   depth_s, y0_s, frag=frag_s)
+    # Back-facing pixels can't show a contact shadow (max(n_dot_l, 0)
+    # gates every shadowed term) — skip their marches in the perf mode.
+    cvalid = (gbuf.valid & (n_dot_l > 0.0)
+              if flags.skip_backfacing_shadows else gbuf.valid)
     if flags.enable_contact_shadows and scale > 1:
         # Explicit frag: the subsampled grid's pixel centers are the
         # GLOBAL rows y0 + scale*k — generating them from a row offset
         # alone would phase-shift the march jitter.
         ct_half = contact_fn(sub(gbuf.world), sub(normal), uni,
-                             state.prev_depth, y0, sub(gbuf.valid),
+                             state.prev_depth, y0, sub(cvalid),
                              sub(frag))
         shadow_term = jnp.minimum(shadow_term, _upsample(ct_half))
     elif flags.enable_contact_shadows:
         contact_term = contact_fn(gbuf.world, normal, uni,
-                                  state.prev_depth, y0, gbuf.valid)
+                                  state.prev_depth, y0, cvalid)
         shadow_term = jnp.minimum(shadow_term, contact_term)  # gltf.frag:619
 
     # History only updates where fragments actually shaded (imageStore
@@ -764,14 +828,43 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
 
     # -- shadow cascade depth passes --
     class_maps = None
+    light_maps = None
     if flags.enable_shadows:
         from .ops.sampling import quad_pack
         from .passes.shadow_classify import (build_class_maps,
                                              light_ground_planes)
 
-        raw_maps = shadow.render_shadow_maps(
-            world_v, scene.tri_indices, scene.num_triangles,
-            uni.light_view_proj, cfg.shadow_raster, cfg.shadow_map_size)
+        # Footprint windows shared by the synthesized-map raster and the
+        # dense light-space ground evaluation (both perf deviation modes;
+        # passes/shadow_lightspace.py): the occluder uv bbox, padded for
+        # penumbra reach + classification looseness around silhouettes.
+        light_sizes = cfg.effective_light_windows()
+        origins = None
+        if light_sizes is not None and any(light_sizes):
+            from .passes import shadow_lightspace as lsm
+
+            origins, _ = lsm.plan_windows(
+                uni, world_v, scene.vert_object, light_sizes,
+                cfg.shadow_map_size, cfg.max_softness, cfg.class_coarse)
+
+        def full_raster(_):
+            return shadow.render_shadow_maps(
+                world_v, scene.tri_indices, scene.num_triangles,
+                uni.light_view_proj, cfg.shadow_raster,
+                cfg.shadow_map_size)
+
+        if flags.synth_shadow_maps and origins is not None:
+            # Analytic ground + windowed occluder raster; an occluder
+            # outgrowing its window takes the full raster via lax.cond
+            # (the synth math is ~1 ms — cheap enough to compute
+            # unconditionally).
+            maps_s, synth_ok = shadow.synthesize_shadow_maps(
+                scene, world_v, uni, cfg.shadow_map_size, light_sizes,
+                origins)
+            raw_maps = jax.lax.cond(synth_ok, lambda _: maps_s,
+                                    full_raster, operand=None)
+        else:
+            raw_maps = full_raster(None)
         # Materialize the raw maps once: both the class-map build and the
         # quad-pack consume them, and the barrier keeps the raster from
         # being fused (= recomputed) into each consumer.
@@ -785,6 +878,23 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
         # packing rolls into every tap's gather (3x slower taps).
         shadow_maps = jax.lax.optimization_barrier(
             jax.vmap(quad_pack)(raw_maps))               # (4, S, S, 4)
+
+        if (flags.light_space_ground_shadows and class_maps is not None
+                and origins is not None):
+            _, n_off, gbias = lsm.ground_constants(uni)
+            planes_b = lsm.biased_ground_planes(uni.light_view_proj,
+                                                lsm.GROUND_Y + n_off)
+            rows_l = []
+            for c in range(4):
+                if light_sizes[c]:
+                    rows_l.append(lsm.build_light_shadow_map(
+                        raw_maps[c], origins[c], planes_b[c], uni,
+                        flags.use_pcss, light_sizes[c], cfg.max_softness,
+                        gbias, cfg.light_pcf_rungs))
+                else:
+                    rows_l.append(None)
+            light_maps = (tuple(rows_l), tuple(origins),
+                          tuple(light_sizes), cfg.light_fetch_caps)
     else:
         shadow_maps = None
 
@@ -797,7 +907,8 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
     rgba, new_history = shade_slab(scene, uni, state, shadow_maps,
                                    tri_id, depth, setup.data, blocks_m, cfg,
                                    class_maps=class_maps,
-                                   tri_flags=tri_flags_m)
+                                   tri_flags=tri_flags_m,
+                                   light_maps=light_maps)
 
     new_state = FrameState(
         shadow_history=new_history,

@@ -61,26 +61,60 @@ def sharded_gltf_frame(mesh: Mesh, cfg: GltfConfig):
             scene, uni.models, uni.view_proj)
         blocks = geometry.build_shade_blocks(scene, world_v, clip, normals_v)
 
-        # -- shadow cascades: each device rasters its row slab of each
-        # cascade, then all-gather to the full (4, S, S) maps --
+        # -- shadow cascades --
+        light_maps = None
         if flags.enable_shadows:
-            sm_y0 = idx * sm_slab
-            ones = jnp.ones((world_v.shape[0], 1), jnp.float32)
-            hom = jnp.concatenate([world_v, ones], axis=-1)
-            slabs = []
-            for c in range(uni.light_view_proj.shape[0]):
-                clip_c = hom @ uni.light_view_proj[c].T
-                _, depth_c, _ = raster_scene(
-                    clip_c, scene.tri_indices, cfg.shadow_map_size,
-                    cfg.shadow_map_size, scene.num_triangles,
-                    cfg.shadow_raster, sm_y0, sm_slab)
-                slabs.append(depth_c)
-            local_sm = jnp.stack(slabs)                 # (4, S/n, S)
-            raw_maps = jax.lax.all_gather(
-                local_sm, ROWS_AXIS, axis=1, tiled=True)  # (4, S, S)
             from ..ops.sampling import quad_pack
+            from ..passes import shadow
             from ..passes.shadow_classify import (build_class_maps,
                                                   light_ground_planes)
+
+            light_sizes = cfg.effective_light_windows()
+            origins = None
+            if light_sizes is not None and any(light_sizes):
+                from ..passes import shadow_lightspace as lsm
+
+                origins, _ = lsm.plan_windows(
+                    uni, world_v, scene.vert_object, light_sizes,
+                    cfg.shadow_map_size, cfg.max_softness,
+                    cfg.class_coarse)
+
+            if flags.synth_shadow_maps and origins is not None:
+                # Synthesized maps are REPLICATED math (analytic ground +
+                # a tiny occluder-window raster) — ZERO shadow-map
+                # collectives, vs the raw-slab all-gather's 67 MB/frame
+                # at 2048^2 (the biggest term of the r3 ICI bill). The
+                # window-overflow fallback is a replicated full raster,
+                # so neither cond branch holds a collective (`ok` is
+                # replicated: computed from replicated inputs).
+                maps_s, synth_ok = shadow.synthesize_shadow_maps(
+                    scene, world_v, uni, cfg.shadow_map_size, light_sizes,
+                    origins)
+                raw_maps = jax.lax.cond(
+                    synth_ok, lambda _: maps_s,
+                    lambda _: shadow.render_shadow_maps(
+                        world_v, scene.tri_indices, scene.num_triangles,
+                        uni.light_view_proj, cfg.shadow_raster,
+                        cfg.shadow_map_size),
+                    operand=None)
+            else:
+                # each device rasters its row slab of each cascade, then
+                # all-gather to the full (4, S, S) maps
+                sm_y0 = idx * sm_slab
+                ones = jnp.ones((world_v.shape[0], 1), jnp.float32)
+                hom = jnp.concatenate([world_v, ones], axis=-1)
+                slabs = []
+                for c in range(uni.light_view_proj.shape[0]):
+                    clip_c = hom @ uni.light_view_proj[c].T
+                    _, depth_c, _ = raster_scene(
+                        clip_c, scene.tri_indices, cfg.shadow_map_size,
+                        cfg.shadow_map_size, scene.num_triangles,
+                        cfg.shadow_raster, sm_y0, sm_slab)
+                    slabs.append(depth_c)
+                local_sm = jnp.stack(slabs)             # (4, S/n, S)
+                raw_maps = jax.lax.all_gather(
+                    local_sm, ROWS_AXIS, axis=1, tiled=True)  # (4, S, S)
+            raw_maps = jax.lax.optimization_barrier(raw_maps)
 
             class_maps = (build_class_maps(
                 raw_maps, cfg.class_coarse, cfg.max_softness,
@@ -88,6 +122,24 @@ def sharded_gltf_frame(mesh: Mesh, cfg: GltfConfig):
                 if flags.sparse_shadows else None)
             shadow_maps = jax.lax.optimization_barrier(
                 jax.vmap(quad_pack)(raw_maps))
+
+            if (flags.light_space_ground_shadows and class_maps is not None
+                    and origins is not None):
+                # replicated dense ground evaluation (tiny windows)
+                _, n_off, gbias = lsm.ground_constants(uni)
+                planes_b = lsm.biased_ground_planes(
+                    uni.light_view_proj, lsm.GROUND_Y + n_off)
+                rows_l = []
+                for c in range(len(light_sizes)):
+                    if light_sizes[c]:
+                        rows_l.append(lsm.build_light_shadow_map(
+                            raw_maps[c], origins[c], planes_b[c], uni,
+                            flags.use_pcss, light_sizes[c],
+                            cfg.max_softness, gbias, cfg.light_pcf_rungs))
+                    else:
+                        rows_l.append(None)
+                light_maps = (tuple(rows_l), tuple(origins),
+                              tuple(light_sizes), cfg.light_fetch_caps)
         else:
             shadow_maps = None
             class_maps = None
@@ -104,7 +156,8 @@ def sharded_gltf_frame(mesh: Mesh, cfg: GltfConfig):
 
         rgba_slab, hist_slab = shade_slab(
             scene, uni, state, shadow_maps, tri_id, depth, setup.data,
-            blocks_m, cfg, y0, class_maps=class_maps, tri_flags=tri_flags_m)
+            blocks_m, cfg, y0, class_maps=class_maps,
+            tri_flags=tri_flags_m, light_maps=light_maps)
 
         # -- gather slabs back to replicated full buffers --
         rgba = jax.lax.all_gather(rgba_slab, ROWS_AXIS, axis=0, tiled=True)

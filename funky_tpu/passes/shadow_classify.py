@@ -91,6 +91,12 @@ class ShadowClassMaps(NamedTuple):
     size: int               # S
     coarse: int             # fine texels per cell
     max_softness: float     # static classification budget
+    # 3x3-neighborhood-conservative copy of cell_rows (max-combined, min
+    # for min_resid): sound for ANY pixel whose cell is within Chebyshev
+    # distance 1 — lets classify() gather ONE row per 2x2 screen block
+    # instead of per pixel (the per-pixel cell gather was ~5 ms/frame at
+    # 1080p). None on hand-built maps (classify falls back to per-pixel).
+    cell_rows_dil: jnp.ndarray | None = None
 
 
 def _dilate_exact(x: jnp.ndarray, reach: int, reduce_fn, pad_value: float,
@@ -269,10 +275,31 @@ def build_class_maps(shadow_maps: jnp.ndarray, coarse: int = 8,
                      + [rise, min_resid, max_resid],
                      axis=-1)                          # (L, Sc, Sc, K+3)
     sc = s // coarse
+    k = len(DROP_LADDER) + 3
+
+    # 3x3-conservative copy (see ShadowClassMaps.cell_rows_dil): flip the
+    # min_resid lane's sign so ONE max-dilation serves every lane, then
+    # flip back. Edge cells clamp (their clipped neighborhoods are the
+    # only ones pixels can reference).
+    sign = jnp.ones((k,), jnp.float32).at[len(DROP_LADDER) + 1].set(-1.0)
+    d = cell * sign
+    for axis in (1, 2):
+        n_ax = d.shape[axis]
+        lo = jax.lax.slice_in_dim(d, 0, 1, axis=axis)
+        hi = jax.lax.slice_in_dim(d, n_ax - 1, n_ax, axis=axis)
+        fwd = jnp.concatenate(
+            [jax.lax.slice_in_dim(d, 1, n_ax, axis=axis), hi], axis=axis)
+        bwd = jnp.concatenate(
+            [lo, jax.lax.slice_in_dim(d, 0, n_ax - 1, axis=axis)],
+            axis=axis)
+        d = jnp.maximum(d, jnp.maximum(fwd, bwd))
+    cell_dil = d * sign
+
     return ShadowClassMaps(
-        cell_rows=cell.reshape(l * sc * sc, len(DROP_LADDER) + 3),
+        cell_rows=cell.reshape(l * sc * sc, k),
         planes=planes,
-        size=s, coarse=coarse, max_softness=max_softness)
+        size=s, coarse=coarse, max_softness=max_softness,
+        cell_rows_dil=cell_dil.reshape(l * sc * sc, k))
 
 
 def _lw_rung(max_softness: float) -> int:
@@ -300,8 +327,37 @@ def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
 
     cx = px // cmaps.coarse
     cy = py // cmaps.coarse
-    cell = take_rows(cmaps.cell_rows,
-                     (layer * sc + cy) * sc + cx)         # (..., K+3)
+    coherent = None
+    if (cmaps.cell_rows_dil is not None and layer.ndim == 2
+            and layer.shape[0] % 2 == 0 and layer.shape[1] % 2 == 0):
+        # ONE gathered row per 2x2 SCREEN BLOCK from the 3x3-conservative
+        # table: uv is continuous across a surface, so a 2x2 block's
+        # cells almost always sit within +-1 of its corner pixel's cell
+        # (same cascade). The dilated row is sound for exactly those
+        # pixels; blocks straddling a silhouette / cascade boundary just
+        # stay unclosed (they are overwhelmingly penumbra pairs anyway).
+        # Cuts the dominant per-pixel cell gather 4x (~5 ms -> ~1.3 ms
+        # at 1080p).
+        l0 = layer[0::2, 0::2]
+        cx0 = cx[0::2, 0::2]
+        cy0 = cy[0::2, 0::2]
+        rows_b = take_rows(cmaps.cell_rows_dil,
+                           (l0 * sc + cy0) * sc + cx0)   # (h/2, w/2, K+3)
+        h2, w2, k = rows_b.shape
+
+        def up2(a):
+            rep = jnp.broadcast_to(a[:, None, :, None], (h2, 2, w2, 2))
+            return rep.reshape(h2 * 2, w2 * 2)
+
+        cell = jnp.broadcast_to(
+            rows_b[:, None, :, None, :], (h2, 2, w2, 2, k)).reshape(
+                h2 * 2, w2 * 2, k)
+        coherent = ((layer == up2(l0))
+                    & (jnp.abs(cx - up2(cx0)) <= 1)
+                    & (jnp.abs(cy - up2(cy0)) <= 1))
+    else:
+        cell = take_rows(cmaps.cell_rows,
+                         (layer * sc + cy) * sc + cx)     # (..., K+3)
     n_ladder = len(DROP_LADDER)
     drop_lw = cell[..., _lw_rung(cmaps.max_softness)]
     rise_u = cell[..., n_ladder]
@@ -342,6 +398,8 @@ def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
                              drop_sel)
 
     ok = softness <= cmaps.max_softness
+    if coherent is not None:
+        ok = ok & coherent
     lit = (excess_ub <= -drop_sel) & (need_r <= DROP_LADDER[-1]) & ok
     # receiver > 1 could turn the white border into a "blocker" for taps
     # outside the map while compare taps still read lit — exclude.

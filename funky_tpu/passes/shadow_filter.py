@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..ops.sampling import (sample_nearest_border_packed,
                             sample_nearest_border_window,
                             sample_shadow_compare_packed,
-                            sample_shadow_compare_window)
+                            sample_shadow_compare_window, take_rows)
 from .uniforms import FrameUniforms
 
 BLOCKER_SAMPLES = 16   # gltf.frag:373
@@ -432,7 +432,9 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                            capacity: int | None = None,
                            cascade_caps: tuple | None = None,
                            block_capacity: int | None = None,
-                           tap_windows: tuple | None = None):
+                           tap_windows: tuple | None = None,
+                           light_maps=None,
+                           skip_backfacing: bool = False):
     """Sparse-exact main shadow evaluation: identical outputs to
     `cascaded_shadow` — bit-exact while the compaction capacities hold,
     and on overflow lax.cond falls back to the full dense evaluation
@@ -456,6 +458,13 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         cliff at Wc <= 384 the serial gather runs ~3-4x faster
         (PERF.md). Bit-identical values; a frame whose taps don't fit
         the window lax.cond-falls back to the full table per cascade.
+      light_maps: optional (rows, origins, sizes, fetch_caps) from the
+        dense light-space ground evaluation (passes/shadow_lightspace):
+        rows[c] is a (sizes[c]**2, 4) per-texel [v, m2, kernel, 1] map,
+        origins[c] its (oy, ox). Ground-plane penumbra pixels inside a
+        window fetch their result with ONE gathered row instead of ~34
+        tap rows (a documented perf deviation — see the module
+        docstring); everything else keeps the exact tap path.
     """
     from ..ops.compact import (Compacted, compact_indices,
                                compact_indices_blocked, gather_rows,
@@ -476,6 +485,15 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                                     normal, n_dot_l, softness, use_pcss,
                                     valid)
 
+    if skip_backfacing:
+        # Back-facing pixels (n_dot_l <= 0) cannot affect the image: the
+        # shadow term only multiplies max(n_dot_l, 0) * diffuse
+        # (gltf.frag:611-614). Perf deviation (their TAA history carries
+        # the lit placeholder) — see GltfFrameFlags.skip_backfacing_shadows.
+        facing = n_dot_l > 0.0
+        needs0 = needs0 & facing
+        needs1 = needs1 & facing
+
     # Dense closed-form results; penumbra placeholders are overwritten by
     # the scatter.
     def dense_base(inb, umbra):
@@ -489,9 +507,47 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
 
     needs = jnp.stack([needs0, needs1])               # (2, ...)
     n_casc = shadow_maps.shape[0]
+    s_full = shadow_maps.shape[1]
     pair_layer = jnp.stack([c0, c1])                  # (2, ...) int32
-    # Group the compacted pairs by cascade: each cascade's segment then
-    # taps its OWN (S, S, 4) table (see cascade_caps in the docstring).
+
+    # Light-space ground fetch (see `light_maps` in the docstring): split
+    # the needed pairs into FETCH entries (ground-plane receivers inside a
+    # cascade's dense light-space window — one gathered row each) and TAP
+    # entries (everything else — the exact 16+16-tap core). The split is
+    # a per-pixel VALUE test, so a miss just stays on the exact path.
+    if light_maps is not None:
+        from .shadow_lightspace import ground_eligible
+
+        light_rows, light_origins, light_sizes, light_caps = light_maps
+        ok_soft = softness <= cmaps.max_softness   # window halo budget
+
+        def _fetchable(cas, uv, recv, needs_h):
+            el = ground_eligible(world, normal, recv) & ok_soft
+            tx = jnp.floor(uv[..., 0] * s_full).astype(jnp.int32)
+            ty = jnp.floor(uv[..., 1] * s_full).astype(jnp.int32)
+            inw = jnp.zeros(needs_h.shape, bool)
+            for c in range(n_casc):
+                if light_sizes[c]:
+                    oy, ox = light_origins[c]
+                    inw = inw | ((cas == c)
+                                 & (tx >= ox) & (tx < ox + light_sizes[c])
+                                 & (ty >= oy) & (ty < oy + light_sizes[c]))
+            return needs_h & el & inw
+
+        fetch = jnp.stack([_fetchable(c0, uv0, r0, needs0),
+                           _fetchable(c1, uv1, r1, needs1)])
+        group_key = pair_layer + n_casc * fetch.astype(jnp.int32)
+        n_groups = 2 * n_casc
+        caps_f = tuple(light_caps) if light_caps is not None \
+            else tuple(cap if light_sizes[c] else 0 for c in range(n_casc))
+    else:
+        group_key = pair_layer
+        n_groups = n_casc
+        caps_f = ()
+
+    # Group the compacted pairs by (cascade, tap|fetch): each cascade's
+    # tap segment gathers from its OWN (S, S, 4) table (see cascade_caps),
+    # each fetch segment from its light-space result map.
     # Penumbra pairs cluster along shadow edges, so the compaction runs
     # two-level where the shape allows (block grid argsort instead of the
     # ~8 ms full-domain one): 8x8 spatial blocks on 2D domains, 64-runs
@@ -503,25 +559,26 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     if block_capacity is not None and c0.ndim == 2 \
             and c0.shape[0] % 8 == 0 and c0.shape[1] % 8 == 0:
         blocked = compact_indices_blocked(
-            needs, cap, 8, 8, block_capacity, group_key=pair_layer)
+            needs, cap, 8, 8, block_capacity, group_key=group_key)
         comp = blocked.comp
         fits_blocks = blocked.block_count <= block_capacity
     elif block_capacity is not None and c0.ndim == 1 and n % 64 == 0:
         blocked = compact_indices_blocked(
             needs.reshape(2, n // 64, 64), cap, 1, 64, block_capacity,
-            group_key=pair_layer.reshape(2, n // 64, 64))
+            group_key=group_key.reshape(2, n // 64, 64))
         comp = blocked.comp
         fits_blocks = blocked.block_count <= block_capacity
     else:
-        comp = compact_indices(needs, cap, group_key=pair_layer)
+        comp = compact_indices(needs, cap, group_key=group_key)
     counts_c = jnp.stack([
-        jnp.sum(needs & (pair_layer == c), dtype=jnp.int32)
-        for c in range(n_casc)])
+        jnp.sum(needs & (group_key == g), dtype=jnp.int32)
+        for g in range(n_groups)])
     offs = jnp.cumsum(counts_c) - counts_c
     caps_c = tuple(cascade_caps) if cascade_caps is not None \
         else (cap,) * n_casc
+    caps_all = caps_c + caps_f
     fits = (comp.count <= cap) & fits_blocks & jnp.all(
-        counts_c <= jnp.asarray(caps_c, jnp.int32))
+        counts_c <= jnp.asarray(caps_all, jnp.int32))
 
     def eval_sparse(_):
         """Exact taps on the compacted penumbra pairs (per-cascade
@@ -539,7 +596,7 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         payload = jnp.concatenate([payload, phi2.reshape(2 * n, 1)],
                                   axis=-1)
         idx_pad = jnp.concatenate(
-            [comp.idx, jnp.full((max(caps_c),), -1, jnp.int32)])
+            [comp.idx, jnp.full((max(caps_all),), -1, jnp.int32)])
 
         # Per-cascade tap windows (see the docstring): bounding box of
         # the needed base texels + the tap-radius bound. The radius bound
@@ -552,21 +609,41 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         # contain every needed pair, so the certificate is exact, and the
         # r3 A/B loss from 16 full-frame reductions + a dense (2n, 2)
         # relayout is gone.
-        s_full = shadow_maps.shape[1]
         pad = jnp.ceil(4.0 * jnp.maximum(softness, 1.0)).astype(
             jnp.int32) + 2
 
-        for c in range(n_casc):
-            cc = caps_c[c]
+        for g in range(len(caps_all)):
+            c = g % n_casc
+            is_fetch = g >= n_casc
+            cc = caps_all[g]
+            if cc == 0:
+                continue
             slot = jnp.arange(cc, dtype=jnp.int32)
-            idx_c = jax.lax.dynamic_slice(idx_pad, (offs[c],), (cc,))
-            valid_c = slot < counts_c[c]
+            idx_c = jax.lax.dynamic_slice(idx_pad, (offs[g],), (cc,))
+            valid_c = slot < counts_c[g]
             compc = Compacted(idx=jnp.where(valid_c, idx_c, -1),
-                              slot_valid=valid_c, count=counts_c[c])
+                              slot_valid=valid_c, count=counts_c[g])
             rows = gather_rows(payload, compc)
             uv_e = rows[:, :2]
             recv_e = rows[:, 2]
             phi_e = rows[:, 3]
+
+            if is_fetch:
+                # ONE row per entry from the cascade's dense light-space
+                # result map (passes/shadow_lightspace) — entries are
+                # in-window by construction of the fetch groups.
+                wcs = light_sizes[c]
+                oy, ox = light_origins[c]
+                txe = jnp.floor(uv_e[:, 0] * s_full).astype(jnp.int32)
+                tye = jnp.floor(uv_e[:, 1] * s_full).astype(jnp.int32)
+                loc = (jnp.clip(tye - oy, 0, wcs - 1) * wcs
+                       + jnp.clip(txe - ox, 0, wcs - 1))
+                r4 = take_rows(light_rows[c], loc)        # (cc, 4)
+                vals = jnp.stack([r4[:, 0], r4[:, 0], r4[:, 1], r4[:, 2]],
+                                 axis=-1)
+                dense = scatter_back(dense, compc, vals)
+                continue
+
             maps_c = shadow_maps[c:c + 1]
             layer0 = jnp.zeros((cc,), jnp.int32)
 
@@ -637,21 +714,56 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
 
 def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
                    view_depth, screen_pos, use_pcss: bool,
-                   valid: jnp.ndarray | None = None):
+                   valid: jnp.ndarray | None = None,
+                   light_windows=None, skip_backfacing: bool = False):
     """Diagnostic: classification histogram + the exact-tap pair count the
     sparse path would compact (use to size GltfConfig.shadow_pen_capacity,
-    like ops.binning.bin_stats for raster capacities)."""
+    like ops.binning.bin_stats for raster capacities).
+
+    light_windows: optional (origins, sizes) of the light-space ground
+    windows — splits the counts into fetch entries (sizes
+    GltfConfig.light_fetch_caps) and residual tap entries (the
+    per-cascade caps). skip_backfacing mirrors the frame flag."""
     c0, c1, t = select_cascade_blend(view_depth, uni.cascade_splits)
     softness = uni.shadow_bias[0]
     if valid is None:
         valid = jnp.ones(c0.shape, bool)
     blend = t > 0.0
-    (uv0, _, _, lit0, um0, uv1, _, _, _, _, needs0,
+    (uv0, r0, _, lit0, um0, uv1, r1, _, _, _, needs0,
      needs1) = _pair_classification(uni, cmaps, c0, c1, blend, world,
                                     normal, n_dot_l, softness, use_pcss,
                                     valid)
+    if skip_backfacing:
+        facing = n_dot_l > 0.0
+        needs0 = needs0 & facing
+        needs1 = needs1 & facing
     needs = jnp.stack([needs0, needs1])
     pair_layer = jnp.stack([c0, c1])
+
+    fetch = jnp.zeros_like(needs)
+    if light_windows is not None:
+        from .shadow_lightspace import ground_eligible
+
+        origins, sizes = light_windows
+        s_map = cmaps.size
+        ok_soft = softness <= cmaps.max_softness
+
+        def _fetchable(cas, uv, recv, needs_h):
+            el = ground_eligible(world, normal, recv) & ok_soft
+            tx = jnp.floor(uv[..., 0] * s_map).astype(jnp.int32)
+            ty = jnp.floor(uv[..., 1] * s_map).astype(jnp.int32)
+            inw = jnp.zeros(needs_h.shape, bool)
+            for c in range(4):
+                if sizes[c]:
+                    oy, ox = origins[c]
+                    inw = inw | ((cas == c)
+                                 & (tx >= ox) & (tx < ox + sizes[c])
+                                 & (ty >= oy) & (ty < oy + sizes[c]))
+            return needs_h & el & inw
+
+        fetch = jnp.stack([_fetchable(c0, uv0, r0, needs0),
+                           _fetchable(c1, uv1, r1, needs1)])
+    taps = needs & ~fetch
 
     # Per-cascade base-texel bounding-box extents of the needed taps —
     # sizes GltfConfig.shadow_tap_windows (add the tap-radius padding
@@ -663,7 +775,7 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
     big = jnp.int32(1 << 28)
     extents = []
     for c in range(4):
-        m = needs & (pair_layer == c)
+        m = taps & (pair_layer == c)
         ex = (jnp.max(jnp.where(m, bx, -big)) -
               jnp.min(jnp.where(m, bx, big)) + 1)
         ey = (jnp.max(jnp.where(m, by, -big)) -
@@ -673,9 +785,13 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
 
     return {
         "_needs": needs,   # raw mask (private: block-occupancy diagnostics)
-        "pairs": jnp.sum(needs0) + jnp.sum(needs1),
+        "pairs": jnp.sum(needs),
+        # tap-only counts size the per-cascade tap caps; fetch counts size
+        # light_fetch_caps
         "pairs_per_cascade": jnp.stack(
-            [jnp.sum(needs & (pair_layer == c)) for c in range(4)]),
+            [jnp.sum(taps & (pair_layer == c)) for c in range(4)]),
+        "light_fetch_per_cascade": jnp.stack(
+            [jnp.sum(fetch & (pair_layer == c)) for c in range(4)]),
         "tap_extent_per_cascade": jnp.stack(extents),
         "lit0": jnp.sum(valid & lit0),
         "umbra0": jnp.sum(valid & um0),

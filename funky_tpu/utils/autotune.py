@@ -56,8 +56,13 @@ def tune_raster_capacities(scene, params, cfg):
                 cfg.shadow_raster.tile_w, scene.num_triangles)["max"])
         return main, sm
 
-    main_max, sm_max = map(int, occupancy(scene, params,
-                                          init_frame_state(cfg)))
+    poses = params if isinstance(params, (list, tuple)) else [params]
+    st0 = init_frame_state(cfg)
+    main_max = sm_max = 0
+    for p in poses:
+        m, s = map(int, occupancy(scene, p, st0))
+        main_max = max(main_max, m)
+        sm_max = max(sm_max, s)
 
     def cap(max_count):
         if max_count <= 0:
@@ -114,6 +119,26 @@ def derive_sparse_config(cfg, occ):
     block_px = blocks128(occ["valid_blocks"], 1.2) * 64
     use_slab = span_rows < cfg.height and slab_px <= 2 * block_px
 
+    # Light-space ground windows: keep a cascade's window only when
+    # enough pairs actually fetch from it (a dropped window's fetch
+    # entries return to that cascade's TAP pool — fold them into its tap
+    # cap so the measurement stays valid).
+    light_sizes = cfg.light_window_sizes
+    light_caps = cfg.light_fetch_caps
+    extra_taps = (0, 0, 0, 0)
+    if "light_window_sizes" in occ:
+        fetches = occ.get("light_fetch_per_cascade", (0,) * 4)
+        sizes = list(occ["light_window_sizes"])
+        extra = [0, 0, 0, 0]
+        for c in range(4):
+            if sizes[c] and fetches[c] < 128:
+                extra[c] = fetches[c]
+                sizes[c] = 0
+        light_sizes = tuple(sizes)
+        extra_taps = tuple(extra)
+        light_caps = tuple(cap1k(f, 1.25) if s else 0
+                           for f, s in zip(fetches, sizes))
+
     # Headroom sizing: occupancy drift between autotune and steady state
     # is a few % (IGN jitter; measured across chained frames), and every
     # padded slot costs ~34 real gather rows in the tap core — 1.5x
@@ -124,7 +149,10 @@ def derive_sparse_config(cfg, occ):
         cfg,
         shadow_pen_capacity=cap1k(occ["pairs"], 1.25),
         shadow_pen_cascade_caps=tuple(
-            cap1k(c, 1.15) for c in occ["pairs_per_cascade"]),
+            cap1k(c + e, 1.15) for c, e in zip(occ["pairs_per_cascade"],
+                                               extra_taps)),
+        light_window_sizes=light_sizes,
+        light_fetch_caps=light_caps,
         shadow_tap_windows=tap_windows,
         contact_capacity=cap1k(occ["contact_stage2"], 1.15),
         contact_march_capacity=cap1k(occ["contact_march"], 1.15),
@@ -155,6 +183,13 @@ def capacity_overflows(cfg, occ) -> list:
             chk(f"shadow_pen_cascade_caps[{c}]", n, cap)
     chk("shadow_pen_block_capacity", occ["pair_blocks"],
         cfg.shadow_pen_block_capacity)
+    if cfg.light_fetch_caps is not None \
+            and "light_fetch_per_cascade" in occ:
+        sizes = cfg.effective_light_windows() or (0,) * 4
+        for c, (n, cap) in enumerate(zip(occ["light_fetch_per_cascade"],
+                                         cfg.light_fetch_caps)):
+            if sizes[c]:
+                chk(f"light_fetch_caps[{c}]", n, cap)
     chk("contact_capacity", occ["contact_stage2"], cfg.contact_capacity)
     chk("contact_march_capacity", occ["contact_march"],
         cfg.contact_march_capacity)

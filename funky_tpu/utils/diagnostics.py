@@ -49,20 +49,40 @@ def _frame_intermediates(scene, params, state, cfg):
         jnp.linalg.norm(g.normal, axis=-1, keepdims=True), 1e-12)
     n_dot_l = jnp.maximum(jnp.sum(normal * uni.light_dir, axis=-1), 0.0)
     view_depth = -((g.world @ uni.view[2, :3].T) + uni.view[2, 3])
-    return uni, cmaps, g, normal, n_dot_l, view_depth, clip_crossing
+    return (uni, cmaps, g, normal, n_dot_l, view_depth, clip_crossing,
+            world_v)
 
 
-def sparse_occupancy(scene, params, state, cfg):
+def footprint_extents(scene, params, state, cfg):
+    """Per-cascade shadow-footprint extent (texels) — sizes the light-space
+    ground-shadow windows (GltfConfig.light_window_sizes). Tiny program:
+    uniforms + vertex transform + a bbox."""
+    from ..frame import compute_frame_uniforms
+    from ..passes.geometry import transform_vertices
+    from ..passes.shadow_lightspace import occluder_uv_bbox
+
+    uni = compute_frame_uniforms(params, state, cfg)
+    world_v, _, _ = transform_vertices(scene, uni.models, uni.view_proj)
+    lo, hi = occluder_uv_bbox(world_v, scene.vert_object,
+                              uni.light_view_proj)
+    ext = jnp.ceil((hi - lo) * cfg.shadow_map_size).astype(jnp.int32)
+    return jnp.maximum(ext[:, 0], ext[:, 1])
+
+
+def sparse_occupancy(scene, params, state, cfg, light_sizes=None):
     """Counts for sizing GltfConfig.shadow_pen_capacity /
     contact_capacity on a representative (scene, view): dict of traced
     scalars (int() them outside jit). `state` should carry a real
     prev_depth (render one frame first) or contact candidates read as 0.
+
+    light_sizes: static per-cascade light-space window sizes to measure
+    fetch/tap splits against (the flag's windows must match the frame's).
     """
     from ..passes import contact, shadow_filter
 
     scale = cfg.flags.effective_shadow_scale
-    (uni, cmaps, g, normal, n_dot_l, view_depth,
-     clip_crossing) = _frame_intermediates(scene, params, state, cfg)
+    (uni, cmaps, g, normal, n_dot_l, view_depth, clip_crossing,
+     world_v) = _frame_intermediates(scene, params, state, cfg)
     h, w = g.depth.shape
     frag = jnp.stack([
         jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5,
@@ -70,14 +90,27 @@ def sparse_occupancy(scene, params, state, cfg):
         jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5,
                          (h, w))], axis=-1)
 
+    light_windows = None
+    if light_sizes is not None and any(light_sizes):
+        from ..passes.shadow_lightspace import plan_windows
+
+        origins, _ = plan_windows(uni, world_v, scene.vert_object,
+                                  light_sizes, cfg.shadow_map_size,
+                                  cfg.max_softness, cfg.class_coarse)
+        light_windows = (origins, tuple(light_sizes))
+
     sub = (lambda a: a[::scale, ::scale]) if scale > 1 else (lambda a: a)
     stats = shadow_filter.classify_stats(
         uni, cmaps, sub(g.world), sub(normal), sub(n_dot_l),
-        sub(view_depth), sub(frag), cfg.flags.use_pcss, sub(g.valid))
+        sub(view_depth), sub(frag), cfg.flags.use_pcss, sub(g.valid),
+        light_windows=light_windows,
+        skip_backfacing=cfg.flags.skip_backfacing_shadows)
 
+    cvalid = (g.valid & (n_dot_l > 0.0)
+              if cfg.flags.skip_backfacing_shadows else g.valid)
     stats.update(contact.contact_occupancy(
         sub(g.world), sub(normal), uni, state.prev_depth,
-        valid=sub(g.valid),
+        valid=sub(cvalid),
         plane=contact.reference_plane(scene.positions, scene.tri_indices,
                                       uni.prev_view_proj, cfg.width,
                                       cfg.height)))
@@ -150,17 +183,54 @@ def sparse_occupancy(scene, params, state, cfg):
 
 def measure_sparse_occupancy(scene, params, cfg, frames: int = 2):
     """Convenience host-side wrapper: renders `frames` frames (so
-    prev_depth is real), then returns python-int occupancy stats."""
+    prev_depth is real), then returns python-int occupancy stats.
+
+    `params` may be a LIST of poses — stats are measured per pose and
+    max-combined, so capacities derived from them cover a camera
+    trajectory instead of one parked view (a single-pose tune pins moving
+    frames to the dense fallback once counts drift past the headroom).
+
+    When the light-space ground mode is on, the windows are pre-sized
+    from the (cheap) footprint-extent program so the measured fetch/tap
+    split matches the windows the derived config will actually use."""
+    import numpy as np
+
     from ..frame import compiled_gltf_frame, init_frame_state
 
+    poses = params if isinstance(params, (list, tuple)) else [params]
     state = init_frame_state(cfg)
     frame = compiled_gltf_frame(cfg)
     for _ in range(frames):
-        _, state = frame(scene, params, state)
-    import numpy as np
+        _, state = frame(scene, poses[0], state)
 
-    stats = jax.jit(sparse_occupancy, static_argnums=(3,))(
-        scene, params, state, cfg)
-    return {k: (int(v) if np.asarray(v).size == 1
-                else tuple(int(x) for x in np.asarray(v).ravel()))
-            for k, v in stats.items()}
+    light_sizes = None
+    if cfg.effective_light_windows() is not None:
+        from ..passes.shadow_lightspace import (window_pad,
+                                                window_size_for_extent)
+
+        ext_fn = jax.jit(footprint_extents, static_argnums=(3,))
+        ext = np.max([np.asarray(ext_fn(scene, p, state, cfg))
+                      for p in poses], axis=0)
+        pad = window_pad(cfg.max_softness, cfg.class_coarse)
+        light_sizes = tuple(window_size_for_extent(int(e), pad)
+                            for e in ext)
+
+    occ_fn = jax.jit(sparse_occupancy, static_argnums=(3, 4))
+    out = {}
+    for i, p in enumerate(poses):
+        if i:
+            _, state = frame(scene, p, state)   # pose-matched prev state
+        stats = occ_fn(scene, p, state, cfg, light_sizes)
+        cur = {k: (int(v) if np.asarray(v).size == 1
+                   else tuple(int(x) for x in np.asarray(v).ravel()))
+               for k, v in stats.items()}
+        for k, v in cur.items():
+            if k not in out:
+                out[k] = v
+            elif isinstance(v, tuple):
+                out[k] = tuple(max(a, b) for a, b in zip(out[k], v))
+            else:
+                out[k] = max(out[k], v)
+    if light_sizes is not None:
+        out["light_window_sizes"] = light_sizes
+    return out

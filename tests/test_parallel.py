@@ -61,6 +61,40 @@ def test_sharded_output_replicated(setup):
     assert np.isfinite(np.asarray(rgba)).all()
 
 
+def test_sharded_perf_modes_match_single_device(setup):
+    """The perf-deviation modes deviate from the EXACT path, not across
+    the sharding axis: sharded synth+light-space frames must equal the
+    single-device frames with the same flags — and the synth path must
+    hold ZERO shadow-map collectives (each device builds the maps from
+    replicated math; only rgba/history/depth rows all-gather)."""
+    import dataclasses
+
+    scene, cfg, params = setup
+    pcfg = dataclasses.replace(
+        cfg, flags=dataclasses.replace(
+            cfg.flags, light_space_ground_shadows=True,
+            skip_backfacing_shadows=True, synth_shadow_maps=True))
+    mesh = make_mesh(8)
+    frame8 = sharded_gltf_frame(mesh, pcfg)
+    frame1 = compiled_gltf_frame(pcfg)
+    s8 = init_frame_state(pcfg)
+    s1 = init_frame_state(pcfg)
+    for i in range(2):
+        rgba8, s8 = frame8(scene, params, s8)
+        rgba1, s1 = frame1(scene, params, s1)
+        np.testing.assert_array_equal(np.asarray(rgba8),
+                                      np.asarray(rgba1),
+                                      err_msg=f"frame {i}")
+
+    # collective accounting: the only all-gathers left are the three
+    # framebuffer-row gathers (rgba, history, depth)
+    from funky_tpu.parallel.sharded_frame import sharded_gltf_frame as sf
+    hlo = frame8.lower(scene, params, init_frame_state(pcfg)) \
+        .compile().as_text()
+    n_ag = hlo.count("all-gather-start") or hlo.count("all-gather(")
+    assert n_ag <= 3, f"expected <=3 all-gathers, found {n_ag}"
+
+
 def test_four_device_mesh(setup):
     scene, cfg, params = setup
     mesh = make_mesh(4)
