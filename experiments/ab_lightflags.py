@@ -50,14 +50,17 @@ def main():
     scene = build_device_scene(gltf)
     params = default_gltf_params(gltf_min_y=float(gltf.bounds_min[1]))
 
-    # shared tuned capacities (measured by bench autotune, r4)
+    # shared tuned capacities (measured occupancy + headroom; the 2x2
+    # -block classify adds ~12% pairs and ~35% pair-blocks vs r3 — an
+    # undersized block cap here silently pins EVERY variant to the dense
+    # fallback, which is exactly what it did on the first run)
     common = dict(
         shadow_pen_capacity=102400,
-        shadow_pen_cascade_caps=(42 * 1024, 49 * 1024, 4096, 1024),
+        shadow_pen_cascade_caps=(45 * 1024, 56 * 1024, 5120, 1024),
         light_fetch_caps=(8192, 8192, 0, 0),
         light_window_sizes=(384, 256, 0, 0),
         contact_capacity=110592, contact_march_capacity=38912,
-        texture_block_capacity=768, shadow_pen_block_capacity=2048,
+        texture_block_capacity=768, shadow_pen_block_capacity=3072,
         contact_block_capacity=2176, valid_slab_rows=736,
         valid_block_capacity=0)
     import funky_tpu.frame as fr

@@ -330,31 +330,40 @@ def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
     coherent = None
     if (cmaps.cell_rows_dil is not None and layer.ndim == 2
             and layer.shape[0] % 2 == 0 and layer.shape[1] % 2 == 0):
-        # ONE gathered row per 2x2 SCREEN BLOCK from the 3x3-conservative
-        # table: uv is continuous across a surface, so a 2x2 block's
-        # cells almost always sit within +-1 of its corner pixel's cell
-        # (same cascade). The dilated row is sound for exactly those
-        # pixels; blocks straddling a silhouette / cascade boundary just
-        # stay unclosed (they are overwhelmingly penumbra pairs anyway).
-        # Cuts the dominant per-pixel cell gather 4x (~5 ms -> ~1.3 ms
-        # at 1080p).
+        # ONE gathered row per 2x2 SCREEN BLOCK (cuts the dominant
+        # per-pixel cell gather 4x, ~5 ms -> ~1.5 ms at 1080p). Blocks
+        # fully inside one cell (the bulk: cells are 16 texels, a 2x2
+        # block spans ~2) read their EXACT row; blocks straddling a cell
+        # edge read the 3x3-conservative row (sound for any pixel within
+        # +-1 cell of the corner) — using the dilated row everywhere
+        # tripled the unclosed band around silhouettes and blew the pair
+        # caps (measured: dense-fallback frames). Pixels farther than +-1
+        # (silhouette jumps) just stay unclosed.
         l0 = layer[0::2, 0::2]
         cx0 = cx[0::2, 0::2]
         cy0 = cy[0::2, 0::2]
-        rows_b = take_rows(cmaps.cell_rows_dil,
-                           (l0 * sc + cy0) * sc + cx0)   # (h/2, w/2, K+3)
-        h2, w2, k = rows_b.shape
 
         def up2(a):
+            h2, w2 = a.shape
             rep = jnp.broadcast_to(a[:, None, :, None], (h2, 2, w2, 2))
             return rep.reshape(h2 * 2, w2 * 2)
 
+        same = (layer == up2(l0)) & (cx == up2(cx0)) & (cy == up2(cy0))
+        same_b = (same[0::2, 0::2] & same[1::2, 0::2]
+                  & same[0::2, 1::2] & same[1::2, 1::2])
+        n_rows = cmaps.cell_rows.shape[0]
+        base_idx = (l0 * sc + cy0) * sc + cx0
+        idx = jnp.where(same_b, base_idx, base_idx + n_rows)
+        table = jnp.concatenate([cmaps.cell_rows, cmaps.cell_rows_dil])
+        rows_b = take_rows(table, idx)               # (h/2, w/2, K+3)
+        h2, w2, k = rows_b.shape
         cell = jnp.broadcast_to(
             rows_b[:, None, :, None, :], (h2, 2, w2, 2, k)).reshape(
                 h2 * 2, w2 * 2, k)
-        coherent = ((layer == up2(l0))
-                    & (jnp.abs(cx - up2(cx0)) <= 1)
-                    & (jnp.abs(cy - up2(cy0)) <= 1))
+        near = ((layer == up2(l0))
+                & (jnp.abs(cx - up2(cx0)) <= 1)
+                & (jnp.abs(cy - up2(cy0)) <= 1))
+        coherent = up2(same_b) | near
     else:
         cell = take_rows(cmaps.cell_rows,
                          (layer * sc + cy) * sc + cx)     # (..., K+3)
