@@ -77,13 +77,15 @@ def main():
     scene = build_device_scene(gltf)
     gltf_min_y = float(gltf.bounds_min[1]) if gltf else 0.0
 
-    # 1920x1080, 4x2048^2 cascades, PCSS+TAA+contact. The two documented
-    # perf-deviation modes are ON (light-space ground PCSS + back-facing
-    # shadow skip — passes/shadow_lightspace.py); the exact path remains
-    # the default elsewhere and is golden/parity-tested against this mode
-    # (tests/test_lightspace.py).
-    cfg = GltfConfig(flags=GltfFrameFlags(light_space_ground_shadows=True,
-                                          skip_backfacing_shadows=True))
+    # 1920x1080, 4x2048^2 cascades, PCSS+TAA+contact — the EXACT path.
+    # The r4 deviation modes (light-space ground PCSS, synthesized maps,
+    # back-facing skip) measured net-NEGATIVE in-frame on a single chip
+    # (experiments/ab_lightflags.py: their lax.cond scheduling barriers
+    # cost more than the rows they save; the tap core is capacity-bound),
+    # so the flagship runs exact; synthesized maps still carry the
+    # multi-chip path, where they delete the 67 MB/frame cascade
+    # all-gather (parallel/sharded_frame.py).
+    cfg = GltfConfig(flags=GltfFrameFlags())
     params = default_gltf_params(gltf_min_y=gltf_min_y)
 
     import math
@@ -109,7 +111,11 @@ def main():
                            0.3 * math.cos(3 * a) - 0.3], jnp.float32))
         return p
 
-    n = int(os.environ.get("BENCH_FRAMES", "10"))
+    # Chain >= 24 frames per drain fetch: the tunnel bills ~33 ms per
+    # VALUE FETCH round trip (PERF.md r3 corrections), which a 10-frame
+    # chain inflates by ~3.3 ms/frame of pure protocol overhead. A real
+    # interactive loop never fetches scalars mid-flight at all.
+    n = max(int(os.environ.get("BENCH_FRAMES", "10")), 24)
     r = int(os.environ.get("BENCH_REPEATS", "3"))
 
     # Measured-occupancy capacity tuning (utils/autotune.py — the same
@@ -149,6 +155,23 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"# motion metric failed: {e}", file=sys.stderr)
+
+    # Print the PRIMARY line before the slow secondary metrics: a
+    # driver-side timeout mid-secondaries must not lose the headline.
+    med = statistics.median(fps)
+    out = {
+        "metric": "glTF Duck + 4-cascade PCSS shadows + TAA + contact "
+                  "shadows, 1920x1080",
+        "value": round(med, 3),
+        "unit": "fps",
+        "vs_baseline": round(med / 60.0, 4),
+        "median_of": r,
+        "min": round(min(fps), 3),
+        "max": round(max(fps), 3),
+    }
+    if motion_med is not None:
+        out["motion_fps"] = round(motion_med, 3)
+    print(json.dumps(out), flush=True)
 
     # Secondary metrics (stderr; the driver consumes only the stdout line).
     try:
@@ -228,22 +251,6 @@ def main():
               f"reference headline: 144+)", file=sys.stderr)
     except Exception as e:  # secondary metrics must never break the bench
         print(f"# secondary metrics failed: {e}", file=sys.stderr)
-
-    med = statistics.median(fps)
-    out = {
-        "metric": "glTF Duck + 4-cascade PCSS shadows + TAA + contact "
-                  "shadows, 1920x1080",
-        "value": round(med, 3),
-        "unit": "fps",
-        "vs_baseline": round(med / 60.0, 4),
-        "median_of": r,
-        "min": round(min(fps), 3),
-        "max": round(max(fps), 3),
-    }
-    if motion_med is not None:
-        out["motion_fps"] = round(motion_med, 3)
-    print(json.dumps(out))
-
 
 if __name__ == "__main__":
     main()

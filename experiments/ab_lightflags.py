@@ -63,7 +63,6 @@ def main():
         texture_block_capacity=768, shadow_pen_block_capacity=3072,
         contact_block_capacity=2176, valid_slab_rows=736,
         valid_block_capacity=0)
-    import funky_tpu.frame as fr
     raster = dataclasses.replace(GltfConfig().raster, capacity=1664)
     shadow_raster = dataclasses.replace(GltfConfig().shadow_raster,
                                         capacity=4224)

@@ -91,12 +91,6 @@ class ShadowClassMaps(NamedTuple):
     size: int               # S
     coarse: int             # fine texels per cell
     max_softness: float     # static classification budget
-    # 3x3-neighborhood-conservative copy of cell_rows (max-combined, min
-    # for min_resid): sound for ANY pixel whose cell is within Chebyshev
-    # distance 1 — lets classify() gather ONE row per 2x2 screen block
-    # instead of per pixel (the per-pixel cell gather was ~5 ms/frame at
-    # 1080p). None on hand-built maps (classify falls back to per-pixel).
-    cell_rows_dil: jnp.ndarray | None = None
 
 
 def _dilate_exact(x: jnp.ndarray, reach: int, reduce_fn, pad_value: float,
@@ -275,31 +269,10 @@ def build_class_maps(shadow_maps: jnp.ndarray, coarse: int = 8,
                      + [rise, min_resid, max_resid],
                      axis=-1)                          # (L, Sc, Sc, K+3)
     sc = s // coarse
-    k = len(DROP_LADDER) + 3
-
-    # 3x3-conservative copy (see ShadowClassMaps.cell_rows_dil): flip the
-    # min_resid lane's sign so ONE max-dilation serves every lane, then
-    # flip back. Edge cells clamp (their clipped neighborhoods are the
-    # only ones pixels can reference).
-    sign = jnp.ones((k,), jnp.float32).at[len(DROP_LADDER) + 1].set(-1.0)
-    d = cell * sign
-    for axis in (1, 2):
-        n_ax = d.shape[axis]
-        lo = jax.lax.slice_in_dim(d, 0, 1, axis=axis)
-        hi = jax.lax.slice_in_dim(d, n_ax - 1, n_ax, axis=axis)
-        fwd = jnp.concatenate(
-            [jax.lax.slice_in_dim(d, 1, n_ax, axis=axis), hi], axis=axis)
-        bwd = jnp.concatenate(
-            [lo, jax.lax.slice_in_dim(d, 0, n_ax - 1, axis=axis)],
-            axis=axis)
-        d = jnp.maximum(d, jnp.maximum(fwd, bwd))
-    cell_dil = d * sign
-
     return ShadowClassMaps(
-        cell_rows=cell.reshape(l * sc * sc, k),
+        cell_rows=cell.reshape(l * sc * sc, len(DROP_LADDER) + 3),
         planes=planes,
-        size=s, coarse=coarse, max_softness=max_softness,
-        cell_rows_dil=cell_dil.reshape(l * sc * sc, k))
+        size=s, coarse=coarse, max_softness=max_softness)
 
 
 def _lw_rung(max_softness: float) -> int:
@@ -327,46 +300,16 @@ def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
 
     cx = px // cmaps.coarse
     cy = py // cmaps.coarse
-    coherent = None
-    if (cmaps.cell_rows_dil is not None and layer.ndim == 2
-            and layer.shape[0] % 2 == 0 and layer.shape[1] % 2 == 0):
-        # ONE gathered row per 2x2 SCREEN BLOCK (cuts the dominant
-        # per-pixel cell gather 4x, ~5 ms -> ~1.5 ms at 1080p). Blocks
-        # fully inside one cell (the bulk: cells are 16 texels, a 2x2
-        # block spans ~2) read their EXACT row; blocks straddling a cell
-        # edge read the 3x3-conservative row (sound for any pixel within
-        # +-1 cell of the corner) — using the dilated row everywhere
-        # tripled the unclosed band around silhouettes and blew the pair
-        # caps (measured: dense-fallback frames). Pixels farther than +-1
-        # (silhouette jumps) just stay unclosed.
-        l0 = layer[0::2, 0::2]
-        cx0 = cx[0::2, 0::2]
-        cy0 = cy[0::2, 0::2]
-
-        def up2(a):
-            h2, w2 = a.shape
-            rep = jnp.broadcast_to(a[:, None, :, None], (h2, 2, w2, 2))
-            return rep.reshape(h2 * 2, w2 * 2)
-
-        same = (layer == up2(l0)) & (cx == up2(cx0)) & (cy == up2(cy0))
-        same_b = (same[0::2, 0::2] & same[1::2, 0::2]
-                  & same[0::2, 1::2] & same[1::2, 1::2])
-        n_rows = cmaps.cell_rows.shape[0]
-        base_idx = (l0 * sc + cy0) * sc + cx0
-        idx = jnp.where(same_b, base_idx, base_idx + n_rows)
-        table = jnp.concatenate([cmaps.cell_rows, cmaps.cell_rows_dil])
-        rows_b = take_rows(table, idx)               # (h/2, w/2, K+3)
-        h2, w2, k = rows_b.shape
-        cell = jnp.broadcast_to(
-            rows_b[:, None, :, None, :], (h2, 2, w2, 2, k)).reshape(
-                h2 * 2, w2 * 2, k)
-        near = ((layer == up2(l0))
-                & (jnp.abs(cx - up2(cx0)) <= 1)
-                & (jnp.abs(cy - up2(cy0)) <= 1))
-        coherent = up2(same_b) | near
-    else:
-        cell = take_rows(cmaps.cell_rows,
-                         (layer * sc + cy) * sc + cx)     # (..., K+3)
+    # NOTE (r4, measured): a 2x2-screen-block variant of this gather (one
+    # row per block from a 3x3-conservative table, straddling blocks
+    # falling back) LOST 17 ms in-frame despite gathering 4x fewer rows —
+    # the interleaving up-sample reshapes + strided block masks relayout
+    # the minor dim (the take_rows/_reduce_min pathology, CLAUDE.md), and
+    # the extra unclosed silhouette pixels raised every capacity. The
+    # per-pixel gather below (2 MB table, fast layout) is the measured
+    # optimum; experiments/ab_lightflags.py is the harness that judged it.
+    cell = take_rows(cmaps.cell_rows,
+                     (layer * sc + cy) * sc + cx)         # (..., K+3)
     n_ladder = len(DROP_LADDER)
     drop_lw = cell[..., _lw_rung(cmaps.max_softness)]
     rise_u = cell[..., n_ladder]
@@ -407,8 +350,6 @@ def classify(cmaps: ShadowClassMaps, layer: jnp.ndarray, uv: jnp.ndarray,
                              drop_sel)
 
     ok = softness <= cmaps.max_softness
-    if coherent is not None:
-        ok = ok & coherent
     lit = (excess_ub <= -drop_sel) & (need_r <= DROP_LADDER[-1]) & ok
     # receiver > 1 could turn the white border into a "blocker" for taps
     # outside the map while compare taps still read lit — exclude.
