@@ -46,8 +46,8 @@ def main():
 
     @jax.jit
     def probe(scene, params, state):
-        (uni, cmaps, g, normal, n_dot_l, view_depth,
-         _) = _frame_intermediates(scene, params, state, cfg)
+        (uni, cmaps, g, normal, n_dot_l, view_depth, _,
+         world_v) = _frame_intermediates(scene, params, state, cfg)
         h, w = g.depth.shape
         frag = jnp.stack([
             jnp.broadcast_to(

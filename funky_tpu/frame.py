@@ -197,6 +197,21 @@ class GltfFrameFlags:
     # default off; requires sparse_shadows (shares the footprint
     # windows).
     synth_shadow_maps: bool = False
+    # COMMITTED mode: elide every capacity-overflow lax.cond and run the
+    # tuned sparse paths unconditionally. Each overflow cond is a
+    # scheduling barrier — XLA cannot overlap work across it — and the
+    # whole-frame A/Bs measured ~1-3 ms of lost overlap per cond
+    # (PERF.md r4 rule 2). With capacities VERIFIED by autotune over the
+    # app's poses (autotune_config measures the exact counts these conds
+    # compare against), the fallback branch is provably never taken, so
+    # committing to the fast branch is bit-exact for those poses. An
+    # unverified view that overflows a capacity produces bounded local
+    # artifacts (missing penumbra/contact entries keep their closed-form
+    # values) INSTEAD of a dense-fallback frame; FrameDriver's runtime
+    # occupancy poll (utils.autotune.capacity_overflows — the same
+    # counts) detects it within retune_check_every frames and re-tunes.
+    # Perf mode, default off; the cond'd path is the parity reference.
+    committed: bool = False
 
     @property
     def effective_shadow_scale(self) -> int:
@@ -519,7 +534,8 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                 view_depth, frag, flags.use_pcss, gbuf.valid,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
                 cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows,
-                light_maps, flags.skip_backfacing_shadows)
+                light_maps, flags.skip_backfacing_shadows,
+                flags.committed)
         else:
             sres, c0, c1, ct = shadow_filter.cascaded_shadow(
                 uni, shadow_maps, gbuf.world, normal, n_dot_l, view_depth,
@@ -550,7 +566,8 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                 block_capacity=cfg.contact_block_capacity, frag=frag,
                 plane=contact.reference_plane(
                     scene.positions, scene.tri_indices,
-                    uni.prev_view_proj, cfg.width, cfg.height))
+                    uni.prev_view_proj, cfg.width, cfg.height),
+                committed=flags.committed)
         else:
             contact_term = contact.compute_contact_shadow(
                 gbuf.world, normal, uni, state.prev_depth, y0, frag=frag)
@@ -569,7 +586,8 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
         rgba = shading.shade_gltf(gbuf, scene.texture, scene.texture_sizes,
                                   uni.camera_pos, uni.light_dir,
                                   shadow_term, background,
-                                  cfg.effective_texture_blocks)
+                                  cfg.effective_texture_blocks,
+                                  committed=flags.committed)
     return rgba, new_history
 
 
@@ -627,6 +645,8 @@ def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
                                  depth, setup_data, blocks, cfg, y0,
                                  class_maps, tri_flags, light_maps)
 
+    if cfg.flags.committed:
+        return slab(None)
     return jax.lax.cond(fits, slab, dense, operand=None)
 
 
@@ -686,6 +706,8 @@ def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
                                  depth, setup_data, blocks, cfg, y0,
                                  class_maps, tri_flags, light_maps)
 
+    if cfg.flags.committed:
+        return blocked(None)
     return jax.lax.cond(bc.fits, blocked, dense, operand=None)
 
 
@@ -731,7 +753,8 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                 vdepth_s, frag_s, flags.use_pcss, valid_s,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
                 cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows,
-                light_maps, flags.skip_backfacing_shadows)
+                light_maps, flags.skip_backfacing_shadows,
+                flags.committed)
         return shadow_filter.cascaded_shadow(
             uni, shadow_maps, world_s, normal_s, ndl_s, vdepth_s, frag_s,
             flags.use_pcss)
@@ -770,7 +793,8 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                 block_capacity=cfg.contact_block_capacity, frag=frag_s,
                 plane=contact.reference_plane(
                     scene.positions, scene.tri_indices,
-                    uni_s.prev_view_proj, cfg.width, cfg.height))
+                    uni_s.prev_view_proj, cfg.width, cfg.height),
+                committed=flags.committed)
     else:
         def contact_fn(world_s, normal_s, uni_s, depth_s, y0_s, valid_s,
                        frag_s=None):
@@ -810,7 +834,8 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
         rgba = shading.shade_gltf(gbuf, scene.texture, scene.texture_sizes,
                                   uni.camera_pos, uni.light_dir,
                                   shadow_term, background,
-                                  cfg.effective_texture_blocks)
+                                  cfg.effective_texture_blocks,
+                                  committed=flags.committed)
     return rgba, new_history
 
 
@@ -861,8 +886,11 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
             maps_s, synth_ok = shadow.synthesize_shadow_maps(
                 scene, world_v, uni, cfg.shadow_map_size, light_sizes,
                 origins)
-            raw_maps = jax.lax.cond(synth_ok, lambda _: maps_s,
-                                    full_raster, operand=None)
+            if flags.committed:
+                raw_maps = maps_s
+            else:
+                raw_maps = jax.lax.cond(synth_ok, lambda _: maps_s,
+                                        full_raster, operand=None)
         else:
             raw_maps = full_raster(None)
         # Materialize the raw maps once: both the class-map build and the

@@ -620,7 +620,8 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
                                   valid: jnp.ndarray | None = None,
                                   block_capacity: int | None = None,
                                   frag: jnp.ndarray | None = None,
-                                  plane: jnp.ndarray | None = None
+                                  plane: jnp.ndarray | None = None,
+                                  committed: bool = False
                                   ) -> jnp.ndarray:
     """Sparse-exact contact shadows: identical outputs to
     compute_contact_shadow where `valid` (geometry coverage — sky pixels'
@@ -728,4 +729,9 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
                                         march_dir, jitter)
         return _soft_term(inter & cand, max_t, last_pen)
 
+    if committed:
+        # Elided overflow cond (GltfFrameFlags.committed): truncated
+        # march entries keep the lit default — bounded local artifact,
+        # detected by FrameDriver's occupancy poll.
+        return eval_sparse(None)
     return jax.lax.cond(fits, eval_sparse, eval_dense, operand=None)

@@ -68,7 +68,8 @@ def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray,
                texture_sizes: jnp.ndarray, camera_pos: jnp.ndarray,
                light_dir: jnp.ndarray, shadow: jnp.ndarray,
                background: jnp.ndarray,
-               texture_block_capacity: int | None = None) -> jnp.ndarray:
+               texture_block_capacity: int | None = None,
+               committed: bool = False) -> jnp.ndarray:
     """gltf.frag main lighting (gltf.frag:592-655), with the shadow term
     (already TAA'd and min'd with contact shadows) supplied.
 
@@ -115,8 +116,14 @@ def shade_gltf(gbuf: GBuffer, texture: jnp.ndarray,
             return scatter_back(jnp.ones((n, 4), jnp.float32), comp,
                                 vals).reshape(use_texture.shape + (4,))
 
-        tex = jax.lax.cond(comp.count <= texture_block_capacity,
-                           sample_blocks, sample_dense, operand=None)
+        if committed:
+            # Elided overflow cond (GltfFrameFlags.committed): dropped
+            # blocks sample flat white — bounded local artifact, caught
+            # by FrameDriver's occupancy poll.
+            tex = sample_blocks(None)
+        else:
+            tex = jax.lax.cond(comp.count <= texture_block_capacity,
+                               sample_blocks, sample_dense, operand=None)
     else:
         tex = sample_dense(None)
     tex = jnp.where(use_texture[..., None], tex, 1.0)

@@ -342,7 +342,7 @@ def _classified_project(uni: FrameUniforms, cmaps, cascade, world, normal,
 
 def _pair_classification(uni: FrameUniforms, cmaps, c0, c1, blend, world,
                          normal, n_dot_l, softness, use_pcss: bool,
-                         valid):
+                         valid, committed: bool = False):
     """Project + classify both cascades and derive the exact-evaluation
     pair masks — shared by cascaded_shadow_sparse and classify_stats so
     the capacity-sizing diagnostic can never drift from the mask the
@@ -389,9 +389,16 @@ def _pair_classification(uni: FrameUniforms, cmaps, c0, c1, blend, world,
                               um_e & comp_band.slot_valid)
             return lit.reshape(blend.shape), um.reshape(blend.shape)
 
-        lit1, um1 = jax.lax.cond(comp_band.count <= band_bcap,
-                                 classify_c1_blocks, classify_c1_dense,
-                                 operand=None)
+        if committed:
+            # Elided cond (GltfFrameFlags.committed): a band overflow
+            # drops blocks whose lit1/um1 stay False — CONSERVATIVE
+            # (those pixels just become pairs), so this site is safe
+            # even unverified.
+            lit1, um1 = classify_c1_blocks(None)
+        else:
+            lit1, um1 = jax.lax.cond(comp_band.count <= band_bcap,
+                                     classify_c1_blocks,
+                                     classify_c1_dense, operand=None)
     else:
         lit1, um1 = classify_c1_dense(None)
 
@@ -434,7 +441,8 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                            block_capacity: int | None = None,
                            tap_windows: tuple | None = None,
                            light_maps=None,
-                           skip_backfacing: bool = False):
+                           skip_backfacing: bool = False,
+                           committed: bool = False):
     """Sparse-exact main shadow evaluation: identical outputs to
     `cascaded_shadow` — bit-exact while the compaction capacities hold,
     and on overflow lax.cond falls back to the full dense evaluation
@@ -483,7 +491,7 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     (uv0, r0, inb0, lit0, um0, uv1, r1, inb1, lit1, um1, needs0,
      needs1) = _pair_classification(uni, cmaps, c0, c1, blend, world,
                                     normal, n_dot_l, softness, use_pcss,
-                                    valid)
+                                    valid, committed=committed)
 
     if skip_backfacing:
         # Back-facing pixels (n_dot_l <= 0) cannot affect the image: the
@@ -702,7 +710,10 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         return jnp.stack([jnp.stack(sd0, axis=-1),
                           jnp.stack(sd1, axis=-1)]).reshape(2 * n, 4)
 
-    out = jax.lax.cond(fits, eval_sparse, eval_dense, operand=None)
+    if committed:
+        out = eval_sparse(None)
+    else:
+        out = jax.lax.cond(fits, eval_sparse, eval_dense, operand=None)
     out = out.reshape((2,) + c0.shape + (4,))
     s0 = ShadowResult(out[0, ..., 0], out[0, ..., 1], out[0, ..., 2],
                       out[0, ..., 3])

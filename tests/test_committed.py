@@ -1,0 +1,70 @@
+"""GltfFrameFlags.committed: overflow lax.conds elided after autotune.
+
+Committed mode runs every tuned sparse path unconditionally (each
+overflow cond is an XLA scheduling barrier — PERF.md r4 rule 2). With
+capacities verified by autotune over the rendered poses the fallback
+branch is provably never taken, so the committed frame must be
+BIT-EXACT against the default cond'd frame; an unverified overflow is
+the driver's job to detect (utils.autotune.capacity_overflows)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from funky_tpu.frame import (GltfConfig, GltfFrameFlags,
+                             compiled_gltf_frame, default_gltf_params,
+                             init_frame_state)
+from funky_tpu.models.gltf import GltfScene
+from funky_tpu.models.scene import build_device_scene
+from funky_tpu.ops.raster import RasterConfig
+from funky_tpu.utils.autotune import autotune_config, capacity_overflows
+
+
+@pytest.fixture(scope="module")
+def tuned_setup(duck_gltf_path):
+    duck = GltfScene.load(duck_gltf_path)
+    scene = build_device_scene(duck)
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=4352, backend="jnp")
+    cfg = GltfConfig(width=256, height=144, shadow_map_size=256,
+                     raster=tile, shadow_raster=tile)
+    params = default_gltf_params(gltf_min_y=float(duck.bounds_min[1]))
+    cfg = autotune_config(scene, params, cfg)
+    return scene, cfg, params
+
+
+def _run(scene, cfg, params, frames=3):
+    frame = compiled_gltf_frame(cfg)
+    state = init_frame_state(cfg)
+    for _ in range(frames):
+        rgba, state = frame(scene, params, state)
+    return np.asarray(rgba), state
+
+
+def test_committed_matches_conded(tuned_setup):
+    scene, cfg, params = tuned_setup
+    img_c, st_c = _run(scene, dataclasses.replace(
+        cfg, flags=dataclasses.replace(cfg.flags, committed=True)), params)
+    img_d, st_d = _run(scene, cfg, params)
+    np.testing.assert_array_equal(img_c, img_d)
+    np.testing.assert_array_equal(np.asarray(st_c.shadow_history),
+                                  np.asarray(st_d.shadow_history))
+
+
+def test_committed_overflow_is_detectable(tuned_setup):
+    """A committed frame whose capacities are too small must be caught by
+    the driver's occupancy poll — the same counts the elided conds would
+    have compared (it may also render wrong pixels; that's the documented
+    trade, bounded by retune_check_every frames)."""
+    from funky_tpu.utils.diagnostics import measure_sparse_occupancy
+
+    scene, cfg, params = tuned_setup
+    tiny = dataclasses.replace(
+        cfg, shadow_pen_capacity=64,
+        shadow_pen_cascade_caps=(64, 64, 64, 64), contact_capacity=64,
+        contact_march_capacity=64,
+        flags=dataclasses.replace(cfg.flags, committed=True))
+    occ = measure_sparse_occupancy(scene, params, tiny)
+    over = capacity_overflows(tiny, occ)
+    assert "shadow_pen_capacity" in over
+    assert "contact_capacity" in over
