@@ -204,13 +204,25 @@ class GltfFrameFlags:
     # (PERF.md r4 rule 2). With capacities VERIFIED by autotune over the
     # app's poses (autotune_config measures the exact counts these conds
     # compare against), the fallback branch is provably never taken, so
-    # committing to the fast branch is bit-exact for those poses. An
-    # unverified view that overflows a capacity produces bounded local
-    # artifacts (missing penumbra/contact entries keep their closed-form
-    # values) INSTEAD of a dense-fallback frame; FrameDriver's runtime
-    # occupancy poll (utils.autotune.capacity_overflows — the same
-    # counts) detects it within retune_check_every frames and re-tunes.
-    # Perf mode, default off; the cond'd path is the parity reference.
+    # the committed frame runs the SAME math on the same values as the
+    # cond'd frame. It is NOT bit-exact against it: committed is a
+    # different compiled program, and XLA's contextual fp codegen gives
+    # the tiny uniform math ulp-level differences that cascade-depth tap
+    # compares amplify into isolated penumbra flips of ~0.01 magnitude
+    # (the documented cross-program divergence, compute_frame_uniforms;
+    # measured r5: 34% of pixels differ by <= 0.009, bisected to the
+    # frame-level sites with every pass-level elision forced off —
+    # experiments/committed_bisect.py). Per compiled config it is fully
+    # deterministic. An unverified view that overflows a capacity
+    # produces bounded local artifacts (missing penumbra/contact entries
+    # keep their closed-form values) INSTEAD of a dense-fallback frame;
+    # FrameDriver's runtime occupancy poll (utils.autotune.
+    # capacity_overflows — the same counts) detects it within
+    # retune_check_every frames and re-tunes. The synth_ok window-fit
+    # cond is NOT elided: it is a geometric certificate with no
+    # occupancy-poll counterpart, so dropping it would trade a global,
+    # undetected artifact for one cond (ADVICE r4). Perf mode, default
+    # off; the cond'd path is the parity reference.
     committed: bool = False
 
     @property
@@ -260,6 +272,13 @@ class GltfConfig:
     # overhead).
     shadow_pen_block_capacity: int | None = None
     contact_block_capacity: int | None = None
+    # TAA misaligned-frame history read compaction: only in-bounds
+    # low-motion pixels consume their history row (passes/taa.py), so
+    # moving frames gather `taa_need_capacity` rows instead of the full
+    # domain. None = dense gather (exact default); size from the
+    # diagnostics' `taa_need` (mismatched-state regime). Overflow is
+    # SAFE (lax.cond falls back to the dense gather).
+    taa_need_capacity: int | None = None
     # classification budget: frames with softness > max_softness fall back
     # to exact taps everywhere (correct, slower). Class-map coarseness in
     # fine texels per cell.
@@ -550,7 +569,8 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
 
     shadow_term, new_history = taa.apply_shadow_taa(
         sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa,
-        full_height=cfg.height, frag=frag, full_width=cfg.width)
+        full_height=cfg.height, frag=frag, full_width=cfg.width,
+        need_capacity=cfg.taa_need_capacity, committed=flags.committed)
 
     # Back-facing pixels can't show a contact shadow either (same
     # max(n_dot_l, 0) gate) — skip their marches in the perf mode.
@@ -781,7 +801,8 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
 
     shadow_term, new_history = taa.apply_shadow_taa(
         sres, gbuf.world, uni, state.shadow_history, flags.use_shadow_taa,
-        y0, cfg.height)
+        y0, cfg.height,
+        need_capacity=cfg.taa_need_capacity, committed=flags.committed)
 
     if flags.sparse_contact:
         def contact_fn(world_s, normal_s, uni_s, depth_s, y0_s, valid_s,
@@ -886,11 +907,14 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
             maps_s, synth_ok = shadow.synthesize_shadow_maps(
                 scene, world_v, uni, cfg.shadow_map_size, light_sizes,
                 origins)
-            if flags.committed:
-                raw_maps = maps_s
-            else:
-                raw_maps = jax.lax.cond(synth_ok, lambda _: maps_s,
-                                        full_raster, operand=None)
+            # synth_ok stays cond'd even in committed mode: it is a
+            # geometric window-fit certificate, not a capacity count —
+            # capacity_overflows has no corresponding check, so eliding
+            # it would let a view change silently drop occluder shadows
+            # across entire cascades with no runtime detection
+            # (ADVICE r4, high).
+            raw_maps = jax.lax.cond(synth_ok, lambda _: maps_s,
+                                    full_raster, operand=None)
         else:
             raw_maps = full_raster(None)
         # Materialize the raw maps once: both the class-map build and the

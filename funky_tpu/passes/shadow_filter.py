@@ -726,7 +726,8 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
 def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
                    view_depth, screen_pos, use_pcss: bool,
                    valid: jnp.ndarray | None = None,
-                   light_windows=None, skip_backfacing: bool = False):
+                   light_windows=None, skip_backfacing: bool = False,
+                   committed: bool = False):
     """Diagnostic: classification histogram + the exact-tap pair count the
     sparse path would compact (use to size GltfConfig.shadow_pen_capacity,
     like ops.binning.bin_stats for raster capacities).
@@ -734,7 +735,11 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
     light_windows: optional (origins, sizes) of the light-space ground
     windows — splits the counts into fetch entries (sizes
     GltfConfig.light_fetch_caps) and residual tap entries (the
-    per-cascade caps). skip_backfacing mirrors the frame flag."""
+    per-cascade caps). skip_backfacing / committed mirror the frame
+    flags — committed matters because the band-classify elision can DROP
+    band blocks (their pixels become pairs), so a committed frame's pair
+    set must be measured with the same committed classification
+    (ADVICE r4, low)."""
     c0, c1, t = select_cascade_blend(view_depth, uni.cascade_splits)
     softness = uni.shadow_bias[0]
     if valid is None:
@@ -743,7 +748,7 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
     (uv0, r0, _, lit0, um0, uv1, r1, _, _, _, needs0,
      needs1) = _pair_classification(uni, cmaps, c0, c1, blend, world,
                                     normal, n_dot_l, softness, use_pcss,
-                                    valid)
+                                    valid, committed=committed)
     if skip_backfacing:
         facing = n_dot_l > 0.0
         needs0 = needs0 & facing
@@ -794,8 +799,24 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
         has = jnp.any(m)
         extents.append(jnp.where(has, jnp.maximum(ex, ey), 0))
 
+    # Band-block occupancy vs _pair_classification's static budget: the
+    # committed band-classify elision drops blocks past band_bcap (their
+    # pixels become pairs), so the driver's poll must see the overflow
+    # (ADVICE r4, low). band_bcap uses this domain's n — the frame's
+    # slab/blocked domain may be smaller (tighter bcap), so this is a
+    # lower bound on the frame's overflow.
+    band_mask = blend & valid
+    hh, ww = band_mask.shape
+    bm = jnp.pad(band_mask, ((0, -hh % 8), (0, -ww % 8)))
+    band_blocks = jnp.sum(bm.reshape(bm.shape[0] // 8, 8,
+                                     bm.shape[1] // 8, 8).any(axis=(1, 3)))
+    band_bcap = jnp.asarray(max((band_mask.size // 64) // 8, 128),
+                            jnp.int32)
+
     return {
         "_needs": needs,   # raw mask (private: block-occupancy diagnostics)
+        "band_blocks": band_blocks,
+        "band_bcap": band_bcap,
         "pairs": jnp.sum(needs),
         # tap-only counts size the per-cascade tap caps; fetch counts size
         # light_fetch_caps
