@@ -66,6 +66,7 @@ class FrameDriver:
         self.retune_check_every = retune_check_every
         self.retune_after = retune_after
         self._overflow_strikes = 0
+        self._slack_strikes = 0
         self._occ_fn = None
         self.retune_count = 0
         self.world = ecs.World()
@@ -190,37 +191,59 @@ class FrameDriver:
         """Runtime half of autotune: probe the current view's occupancy
         (one partial-frame dispatch — front half + classification, no
         taps) and re-derive the sparse capacities after `retune_after`
-        consecutive overflowing checks. Overflow frames are EXACT (every
-        consumer lax.cond-falls back to its dense path) — this only
-        recovers the sparse speed."""
+        consecutive overflowing OR slack checks. Overflow frames are
+        EXACT (every consumer lax.cond-falls back to its dense path) —
+        the loosen direction only recovers the sparse speed. The tighten
+        direction (r5, VERDICT r4 weak-5) recovers parked speed after a
+        motion phase inflated the caps: padded compaction slots gather
+        like real ones, so caps 2x above steady-state occupancy are pure
+        cost forever without it."""
         import numpy as np
 
-        from ..utils.autotune import capacity_overflows, derive_sparse_config
+        from ..utils.autotune import (capacity_overflows, capacity_slack,
+                                      derive_sparse_config)
         from ..utils.diagnostics import sparse_occupancy
 
         try:
             if self._occ_fn is None:
                 self._occ_fn = jax.jit(sparse_occupancy,
-                                       static_argnums=(3,))
+                                       static_argnums=(3, 4))
+            # Pass the config's effective light window sizes so the poll
+            # measures light_fetch_per_cascade — without them, fetch-cap
+            # overflows in light_space_ground_shadows + committed mode
+            # would render truncated entries with no runtime detection
+            # (ADVICE r4, medium).
             stats = self._occ_fn(self.device_scene, params, self.state,
-                                 self.cfg)
+                                 self.cfg, self.cfg.effective_light_windows())
             occ = {k: (int(v) if np.asarray(v).size == 1
                        else tuple(int(x) for x in np.asarray(v).ravel()))
                    for k, v in stats.items()}
             over = capacity_overflows(self.cfg, occ)
+            slack = [] if over else capacity_slack(self.cfg, occ)
         except Exception as e:  # diagnostics must never kill the loop
             print(f"occupancy probe failed ({e}); skipping retune check")
             return
-        if not over:
+        if not over and not slack:
             self._overflow_strikes = 0
+            self._slack_strikes = 0
             return
-        self._overflow_strikes += 1
-        if self._overflow_strikes < self.retune_after:
-            return
+        if over:
+            self._slack_strikes = 0
+            self._overflow_strikes += 1
+            if self._overflow_strikes < self.retune_after:
+                return
+            reason = f"{', '.join(over)} overflowed"
+        else:
+            self._overflow_strikes = 0
+            self._slack_strikes += 1
+            if self._slack_strikes < self.retune_after:
+                return
+            reason = f"{', '.join(slack)} oversized >= 2x"
         self._overflow_strikes = 0
+        self._slack_strikes = 0
         self.retune_count += 1
-        print(f"re-autotune #{self.retune_count}: {', '.join(over)} "
-              f"overflowed; re-deriving capacities")
+        print(f"re-autotune #{self.retune_count}: {reason}; "
+              f"re-deriving capacities")
         self.cfg = derive_sparse_config(self.cfg, occ)
         self._frame_fn = compiled_gltf_frame(self.cfg)
         self._occ_fn = None  # cfg is a static arg; drop the stale jit

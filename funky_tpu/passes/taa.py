@@ -32,7 +32,9 @@ def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
                      use_shadow_taa: bool, y0=0,
                      full_height: int | None = None,
                      frag: jnp.ndarray | None = None,
-                     full_width: int | None = None
+                     full_width: int | None = None,
+                     need_capacity: int | None = None,
+                     committed: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out_shadow, new_history[..., 2]) matching cur.v's shape.
     `history` is always the FULL-frame buffer (reprojection can land
@@ -40,7 +42,21 @@ def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
       - row slab (h, W) starting at global row y0 (frag=None);
       - any batch shape with explicit `frag` pixel centers (x+0.5
         convention) and `full_width` — the blocked back half's flat
-        compacted domain."""
+        compacted domain.
+
+    need_capacity: sparse history read for MOVING frames (r5, VERDICT r4
+    weak-6): only in-bounds pixels with motion <= 0.02 ever consume
+    their history row (every other pixel rejects on motion or bounds
+    before reading values), so the misaligned-frame gather compacts to
+    that `need` set instead of the full domain (~1.4M rows at 1080p;
+    under real motion the 0.02-uv threshold rejects nearly everything).
+    Overflow (slow pans where most pixels keep history) lax.cond-falls
+    back to the dense gather — bit-exact either way. Size from
+    diagnostics' `taa_need` (measured in the mismatched-state regime —
+    the matched/parked regime takes the aligned fast path instead).
+    committed elides the overflow cond (GltfFrameFlags.committed
+    contract: truncated entries blend as freshly-lit — bounded local
+    artifact, detected by the driver's occupancy poll)."""
     current = cur.v
     if frag is None:
         h, w = cur.v.shape
@@ -112,6 +128,34 @@ def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
         out = jnp.where(in_bounds & ~reject, blended, current)
         return out, jnp.stack([out, cur_ndc_depth], axis=-1)
 
+    def blend_gathered():
+        """Dense full-domain history gather (the exact reference read)."""
+        return blend_with(sample_nearest_edge(history, prev_uv))
+
+    def blend_sparse_read():
+        """Compacted history read over the `need` mask; `~need` slots
+        keep the (1, 1) init value, which blend_with never consumes for
+        them (motion/bounds reject first). Returns the blend or None
+        when the domain has no static capacity benefit."""
+        from ..ops.compact import (compact_indices, gather_rows,
+                                   scatter_back)
+
+        n = int(need.size)
+        cap = min(need_capacity, n)
+        comp = compact_indices(need, cap)
+
+        def sparse(_):
+            uv_rows = gather_rows(prev_uv.reshape(n, 2), comp)
+            hist_rows = sample_nearest_edge(history, uv_rows)  # (cap, 2)
+            hist = scatter_back(jnp.ones((n, 2), jnp.float32), comp,
+                                hist_rows)
+            return blend_with(hist.reshape(need.shape + (2,)))
+
+        if committed:
+            return sparse(None)
+        return jax.lax.cond(comp.count <= cap, sparse,
+                            lambda _: blend_gathered(), operand=None)
+
     if frag is None:
         # Aligned-history fast path: the NEAREST tap at prev_uv is the
         # pixel's OWN texel whenever the camera is still (identical
@@ -138,8 +182,12 @@ def apply_shadow_taa(cur: ShadowResult, world: jnp.ndarray,
             return blend_with(slab)
 
         def slow(_):
-            return blend_with(sample_nearest_edge(history, prev_uv))
+            if need_capacity is not None:
+                return blend_sparse_read()
+            return blend_gathered()
 
         return jax.lax.cond(all_aligned, fast, slow, operand=None)
 
-    return blend_with(sample_nearest_edge(history, prev_uv))
+    if need_capacity is not None:
+        return blend_sparse_read()
+    return blend_gathered()

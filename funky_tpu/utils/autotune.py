@@ -156,6 +156,15 @@ def derive_sparse_config(cfg, occ):
         shadow_tap_windows=tap_windows,
         contact_capacity=cap1k(occ["contact_stage2"], 1.15),
         contact_march_capacity=cap1k(occ["contact_march"], 1.15),
+        # Sparse TAA history read (passes/taa.py): only sized when the
+        # measured mismatched-regime need is well below the domain (a
+        # near-full cap just adds compaction overhead to the dense
+        # gather it replaces). 0 = no moving pose measured -> stay dense.
+        taa_need_capacity=(
+            cap1k(occ["taa_need"], 1.3)
+            if occ.get("taa_need")
+            and cap1k(occ["taa_need"], 1.3) <= occ["pixels"] // 2
+            else None),
         texture_block_capacity=blocks128(occ["texture_blocks"]),
         shadow_pen_block_capacity=blocks128(occ["pair_blocks"]),
         contact_block_capacity=blocks128(occ["contact_blocks"]),
@@ -190,11 +199,18 @@ def capacity_overflows(cfg, occ) -> list:
                                          cfg.light_fetch_caps)):
             if sizes[c]:
                 chk(f"light_fetch_caps[{c}]", n, cap)
+    # Band-classify block budget (static in _pair_classification): a
+    # committed-mode band overflow drops blocks into the pair set —
+    # surface it so the runtime poll can trigger a retune (ADVICE r4).
+    if "band_blocks" in occ and "band_bcap" in occ:
+        chk("band_block_capacity", occ["band_blocks"], occ["band_bcap"])
     chk("contact_capacity", occ["contact_stage2"], cfg.contact_capacity)
     chk("contact_march_capacity", occ["contact_march"],
         cfg.contact_march_capacity)
     chk("contact_block_capacity", occ["contact_blocks"],
         cfg.contact_block_capacity)
+    if "taa_need" in occ:
+        chk("taa_need_capacity", occ["taa_need"], cfg.taa_need_capacity)
     chk("texture_block_capacity", occ["texture_blocks"],
         cfg.effective_texture_blocks)
     if cfg.valid_slab_rows:
@@ -203,6 +219,34 @@ def capacity_overflows(cfg, occ) -> list:
         chk("valid_block_capacity", occ["valid_blocks"],
             cfg.valid_block_capacity)
     return over
+
+
+def capacity_slack(cfg, occ) -> list:
+    """Names of major sparse capacities sized >= 2x what re-deriving from
+    the measured occupancy would give — the tighten direction of the
+    driver's runtime retune (a motion phase inflates caps; a parked view
+    afterwards pays the padded-slot gather cost forever unless the caps
+    shrink back). Compares against the DERIVED cap (headroom + quantum
+    included) so a capacity already at its quantum floor is never
+    flagged."""
+    new = derive_sparse_config(cfg, occ)
+    slack = []
+
+    def chk(name, cur, derived):
+        if cur is not None and derived is not None and cur >= 2 * derived:
+            slack.append(name)
+
+    chk("shadow_pen_capacity", cfg.shadow_pen_capacity,
+        new.shadow_pen_capacity)
+    if (cfg.shadow_pen_cascade_caps is not None
+            and new.shadow_pen_cascade_caps is not None):
+        for c, (cur, der) in enumerate(zip(cfg.shadow_pen_cascade_caps,
+                                           new.shadow_pen_cascade_caps)):
+            chk(f"shadow_pen_cascade_caps[{c}]", cur, der)
+    chk("contact_capacity", cfg.contact_capacity, new.contact_capacity)
+    chk("contact_march_capacity", cfg.contact_march_capacity,
+        new.contact_march_capacity)
+    return slack
 
 
 def autotune_config(scene, params, cfg, frames: int = 2, verbose=False):

@@ -104,7 +104,8 @@ def sparse_occupancy(scene, params, state, cfg, light_sizes=None):
         uni, cmaps, sub(g.world), sub(normal), sub(n_dot_l),
         sub(view_depth), sub(frag), cfg.flags.use_pcss, sub(g.valid),
         light_windows=light_windows,
-        skip_backfacing=cfg.flags.skip_backfacing_shadows)
+        skip_backfacing=cfg.flags.skip_backfacing_shadows,
+        committed=cfg.flags.committed)
 
     cvalid = (g.valid & (n_dot_l > 0.0)
               if cfg.flags.skip_backfacing_shadows else g.valid)
@@ -114,6 +115,40 @@ def sparse_occupancy(scene, params, state, cfg, light_sizes=None):
         plane=contact.reference_plane(scene.positions, scene.tri_indices,
                                       uni.prev_view_proj, cfg.width,
                                       cfg.height)))
+
+    # TAA misaligned-frame history-read need (passes/taa.py sparse read):
+    # in-bounds pixels with reprojection motion <= 0.02 — the only ones
+    # that ever consume a history row. Meaningful in the MISMATCHED
+    # regime (state from the previous pose): with a pose-matched state
+    # motion ~ 0 everywhere and the frame takes the aligned fast path
+    # instead, so measure_sparse_occupancy overrides this entry with its
+    # pre-render probe.
+    ones = jnp.ones(g.world.shape[:-1] + (1,), jnp.float32)
+    hom = jnp.concatenate([g.world, ones], axis=-1)
+    prev_clip = jnp.einsum("ij,...j->...i", uni.prev_view_proj, hom)
+    w_ok = prev_clip[..., 3] > 0.0
+    prev_ndc = prev_clip[..., :3] / jnp.where(w_ok[..., None],
+                                              prev_clip[..., 3:4], 1.0)
+    prev_uv = prev_ndc[..., :2] * 0.5 + 0.5
+    tin = (w_ok
+           & (prev_uv[..., 0] >= 0.0) & (prev_uv[..., 0] <= 1.0)
+           & (prev_uv[..., 1] >= 0.0) & (prev_uv[..., 1] <= 1.0)
+           & (prev_ndc[..., 2] >= 0.0) & (prev_ndc[..., 2] <= 1.0))
+    cur_uv = (frag + 0.5) / jnp.asarray([w, h], jnp.float32)
+    motion = jnp.linalg.norm(prev_uv - cur_uv, axis=-1)
+    need = tin & (motion <= 0.02) & g.valid
+    # Gate on the frame's own aligned fast-path condition (taa.py):
+    # aligned frames dynamic_slice the history and never touch the
+    # capacity — without this, a parked-view driver poll (state matched
+    # to params) would report need ~ full frame and thrash the retune.
+    ix = jnp.clip(jnp.floor(prev_uv[..., 0] * w).astype(jnp.int32),
+                  0, w - 1)
+    iy = jnp.clip(jnp.floor(prev_uv[..., 1] * h).astype(jnp.int32),
+                  0, h - 1)
+    own_x = (frag[..., 0] - 0.5).astype(jnp.int32)
+    own_y = (frag[..., 1] - 0.5).astype(jnp.int32)
+    all_aligned = jnp.all(((ix == own_x) & (iy == own_y)) | ~need)
+    stats["taa_need"] = jnp.where(all_aligned, 0, jnp.sum(need))
 
     # 8x8 candidate-block counts for the two-level compactions
     def blocks_of(mask):
@@ -218,12 +253,20 @@ def measure_sparse_occupancy(scene, params, cfg, frames: int = 2):
     occ_fn = jax.jit(sparse_occupancy, static_argnums=(3, 4))
     out = {}
     for i, p in enumerate(poses):
+        taa_need_mis = 0
         if i:
+            # Mismatched-regime probe BEFORE advancing the state: pose p
+            # against the previous pose's rendered state — the regime the
+            # TAA slow path actually runs in (a pose-matched state takes
+            # the aligned fast path, making its taa_need meaningless).
+            pre = occ_fn(scene, p, state, cfg, light_sizes)
+            taa_need_mis = int(np.asarray(pre["taa_need"]))
             _, state = frame(scene, p, state)   # pose-matched prev state
         stats = occ_fn(scene, p, state, cfg, light_sizes)
         cur = {k: (int(v) if np.asarray(v).size == 1
                    else tuple(int(x) for x in np.asarray(v).ravel()))
                for k, v in stats.items()}
+        cur["taa_need"] = taa_need_mis
         for k, v in cur.items():
             if k not in out:
                 out[k] = v

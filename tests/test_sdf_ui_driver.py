@@ -252,3 +252,39 @@ def test_driver_runtime_retune(duck_gltf_path):
     img = np.asarray(drv.step())   # renders fine under the retuned config
     assert np.isfinite(img).all()
     assert drv._overflow_strikes == 0
+
+
+def test_driver_retune_tightens(duck_gltf_path):
+    """The tighten direction (r5): capacities inflated by a past motion
+    phase shrink back once measured occupancy sits >= 2x below what
+    re-deriving would give — a parked view after motion must recover
+    parked gather cost (padded compaction slots gather like real rows)."""
+    import dataclasses
+
+    from funky_tpu.app.driver import FrameDriver
+    from funky_tpu.frame import GltfConfig
+    from funky_tpu.ops.raster import RasterConfig
+
+    tile = RasterConfig(tile_h=16, tile_w=128, capacity=512, backend="jnp")
+    cfg = GltfConfig(width=256, height=128, shadow_map_size=128,
+                     raster=tile, shadow_raster=tile)
+    drv = FrameDriver(cfg, scene_path=duck_gltf_path, enable_ui=False,
+                      autotune=False)
+    drv.step()  # prev_depth becomes real for the contact occupancy probe
+
+    # Simulate a motion-inflated config: pair capacity far ABOVE this
+    # parked view's needs (frames are exact, just padded-slot slow).
+    drv.autotune = True
+    drv.retune_check_every = 1
+    drv.retune_after = 2
+    inflated = 1024 * 64
+    drv.cfg = dataclasses.replace(drv.cfg, shadow_pen_capacity=inflated)
+
+    drv.step()                     # strike 1: slack seen, no retune yet
+    assert drv.retune_count == 0 and drv._slack_strikes == 1
+    drv.step()                     # strike 2: re-derive + cached re-jit
+    assert drv.retune_count == 1
+    assert drv.cfg.shadow_pen_capacity < inflated
+    img = np.asarray(drv.step())   # renders fine under the retuned config
+    assert np.isfinite(img).all()
+    assert drv._slack_strikes == 0

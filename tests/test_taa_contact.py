@@ -203,3 +203,50 @@ def test_contact_shadow_occluder_darkens():
                                                     depth))
     assert out.min() < 1.0  # some occlusion found
     assert out.min() >= 1.0 - 0.8 - 1e-5  # max darkness 0.8 (gltf.frag:359)
+
+
+def test_taa_sparse_history_read_bit_parity():
+    """The compacted misaligned-frame history read (need_capacity; r5)
+    must be bit-identical to the dense gather in every regime: nudged
+    camera (small motion: most pixels need history), large move (most
+    reject on motion), and overflow (capacity < need -> dense cond
+    fallback). Both the slab and frag layouts."""
+    rng = np.random.default_rng(11)
+    n = 16
+    base = _uniforms()
+    nudged = _uniforms(camera_pos=jnp.asarray([0.02, 2.0, 5.0],
+                                              jnp.float32)).view_proj
+    moved = _uniforms(camera_pos=jnp.asarray([3.0, 2.0, 5.0],
+                                             jnp.float32)).view_proj
+    for prev in (nudged, moved):
+        u = base._replace(prev_view_proj=prev)
+        world = _world_at_pixels(u)
+        v = jnp.asarray(rng.uniform(0, 1, (n, n)), jnp.float32)
+        cur = ShadowResult(v, v, v * v + 0.01,
+                           jnp.asarray(rng.uniform(0, 8, (n, n)),
+                                       jnp.float32))
+        hist = jnp.asarray(rng.uniform(0, 1, (n, n, 2)), jnp.float32)
+        dense_out, dense_hist = taa.apply_shadow_taa(
+            cur, world, u, hist, True, full_height=n)
+        for cap in (n * n, 8):   # fits / overflow->cond fallback
+            out_c, hist_c = taa.apply_shadow_taa(
+                cur, world, u, hist, True, full_height=n,
+                need_capacity=cap)
+            np.testing.assert_array_equal(np.asarray(dense_out),
+                                          np.asarray(out_c))
+            np.testing.assert_array_equal(np.asarray(dense_hist),
+                                          np.asarray(hist_c))
+        # frag layout (the blocked back half's flat domain)
+        frag = jnp.stack(jnp.meshgrid(
+            jnp.arange(n, dtype=jnp.float32) + 0.5,
+            jnp.arange(n, dtype=jnp.float32) + 0.5), axis=-1)
+        fd_out, fd_hist = taa.apply_shadow_taa(
+            cur, world, u, hist, True, full_height=n, frag=frag,
+            full_width=n)
+        fs_out, fs_hist = taa.apply_shadow_taa(
+            cur, world, u, hist, True, full_height=n, frag=frag,
+            full_width=n, need_capacity=n * n)
+        np.testing.assert_array_equal(np.asarray(fd_out),
+                                      np.asarray(fs_out))
+        np.testing.assert_array_equal(np.asarray(fd_hist),
+                                      np.asarray(fs_hist))
