@@ -35,6 +35,41 @@ DUCK_PATHS = [
 ]
 
 
+def orbit_params(params, i: int):
+    """Pose i of the bench's motion trajectory: camera orbiting the duck
+    (0.02 rad/frame) while the duck slides — the steady-state moving
+    frame the reference's interactive numbers represent. Shared with the
+    experiments (ablate_stack) so ladders measure the SHIPPED config."""
+    import dataclasses
+    import math
+
+    import jax.numpy as jnp
+
+    a = 0.02 * i
+    target = np.asarray([0.0, 0.6, 0.0], np.float32)
+    rel = np.asarray([0.0, 2.5, 10.0], np.float32) - target
+    rot = np.asarray([[math.cos(a), 0, math.sin(a)],
+                      [0, 1, 0],
+                      [-math.sin(a), 0, math.cos(a)]], np.float32)
+    pos = target + rot @ rel
+    d = target - pos
+    dn = d / np.linalg.norm(d)
+    return dataclasses.replace(
+        params,
+        camera_pos=jnp.asarray(pos),
+        camera_yaw=jnp.float32(math.atan2(float(dn[2]), float(dn[0]))),
+        camera_pitch=jnp.float32(math.asin(float(dn[1]))),
+        duck_position=params.duck_position
+        + jnp.asarray([0.3 * math.sin(3 * a), 0.0,
+                       0.3 * math.cos(3 * a) - 0.3], jnp.float32))
+
+
+def bench_poses(params, n):
+    """The pose set bench.py autotunes over (parked + 3 orbit poses)."""
+    return [params, orbit_params(params, n // 3),
+            orbit_params(params, 2 * n // 3), orbit_params(params, n - 1)]
+
+
 def find_scene():
     from funky_tpu.models.gltf import GltfScene
 
@@ -77,39 +112,20 @@ def main():
     scene = build_device_scene(gltf)
     gltf_min_y = float(gltf.bounds_min[1]) if gltf else 0.0
 
-    # 1920x1080, 4x2048^2 cascades, PCSS+TAA+contact — the EXACT path.
-    # The r4 deviation modes (light-space ground PCSS, synthesized maps,
-    # back-facing skip) measured net-NEGATIVE in-frame on a single chip
-    # (experiments/ab_lightflags.py: their lax.cond scheduling barriers
-    # cost more than the rows they save; the tap core is capacity-bound),
-    # so the flagship runs exact; synthesized maps still carry the
+    # 1920x1080, 4x2048^2 cascades, PCSS+TAA+contact, COMMITTED mode —
+    # the same math as the exact path with every verified overflow cond
+    # elided (frame.GltfFrameFlags.committed: each cond is an XLA
+    # scheduling barrier; capacities are verified by the autotune below
+    # over exactly these poses). The r5 per-variant-tuned A/B
+    # (experiments/ab_lightflags_tuned.py, PERF.md r5 table) measured
+    # committed at 80.9 ms vs 96.0 exact-conded, and every other r4
+    # deviation mode (light-space ground PCSS, synthesized maps,
+    # back-face skip) net-negative even with committed + per-variant
+    # caps, so they stay off; synthesized maps still carry the
     # multi-chip path, where they delete the 67 MB/frame cascade
     # all-gather (parallel/sharded_frame.py).
-    cfg = GltfConfig(flags=GltfFrameFlags())
+    cfg = GltfConfig(flags=GltfFrameFlags(committed=True))
     params = default_gltf_params(gltf_min_y=gltf_min_y)
-
-    import math
-
-    def orbit_params(i: int):
-        import jax.numpy as jnp
-        a = 0.02 * i
-        target = np.asarray([0.0, 0.6, 0.0], np.float32)
-        rel = np.asarray([0.0, 2.5, 10.0], np.float32) - target
-        rot = np.asarray([[math.cos(a), 0, math.sin(a)],
-                          [0, 1, 0],
-                          [-math.sin(a), 0, math.cos(a)]], np.float32)
-        pos = target + rot @ rel
-        d = target - pos
-        dn = d / np.linalg.norm(d)
-        p = dataclasses.replace(
-            params,
-            camera_pos=jnp.asarray(pos),
-            camera_yaw=jnp.float32(math.atan2(float(dn[2]), float(dn[0]))),
-            camera_pitch=jnp.float32(math.asin(float(dn[1]))),
-            duck_position=params.duck_position
-            + jnp.asarray([0.3 * math.sin(3 * a), 0.0,
-                           0.3 * math.cos(3 * a) - 0.3], jnp.float32))
-        return p
 
     # Chain >= 24 frames per drain fetch: the tunnel bills ~33 ms per
     # VALUE FETCH round trip (PERF.md r3 corrections), which a 10-frame
@@ -123,8 +139,7 @@ def main():
     # orbit poses, so the motion metric below runs with capacities a
     # real app would settle on for this trajectory (single-pose tuning
     # pins moving frames to the exact-but-dense overflow fallback).
-    poses = [params, orbit_params(n // 3), orbit_params(2 * n // 3),
-             orbit_params(n - 1)]
+    poses = bench_poses(params, n)
     cfg = autotune_config(scene, poses, cfg, verbose=True)
 
     frame = compiled_gltf_frame(cfg)
@@ -138,7 +153,7 @@ def main():
     # honest dense-fallback frames here.
     motion_med = None
     try:
-        all_motion = [orbit_params(i) for i in range(n)]
+        all_motion = [orbit_params(params, i) for i in range(n)]
         state = init_frame_state(cfg)
         rgba, state = frame(scene, all_motion[0], state)
         float(np.asarray(rgba.ravel()[0]))

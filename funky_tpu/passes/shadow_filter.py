@@ -104,16 +104,13 @@ def select_cascade_blend(view_depth: jnp.ndarray, splits: jnp.ndarray):
     return c0, c1, t
 
 
-def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
-                   world: jnp.ndarray, normal: jnp.ndarray,
-                   n_dot_l: jnp.ndarray):
-    """Normal-offset bias + light-space projection shared by PCF and PCSS
-    (gltf.frag:391-410 == 453-469).
-
-    TPU note: gathering a per-pixel 4x4 matrix (lightViewProj[cascade]) is
-    a row gather XLA lowers to a serial loop (~30ms/frame); projecting
-    densely through ALL 4 cascades and one-hot selecting is pure VPU work
-    and ~free."""
+def _project_all(uni: FrameUniforms, world: jnp.ndarray,
+                 normal: jnp.ndarray, n_dot_l: jnp.ndarray):
+    """Normal-offset bias + light-space projection through ALL cascades
+    (gltf.frag:391-410 == 453-469): returns ((C, ..., 3) proj, bias).
+    Factored out of _light_project so the pair classification projects
+    ONCE and selects twice (c0 AND c1) instead of paying the dense
+    16-dot einsum twice per pixel (r5)."""
     normal_bias = 0.02 * (1.0 - n_dot_l)
     biased = world + normal * normal_bias[..., None]
 
@@ -122,6 +119,16 @@ def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
     # (C, ..., 4) clip coords through every cascade
     clip_all = jnp.einsum("cij,...j->c...i", uni.light_view_proj, hom)
     proj_all = clip_all[..., :3] / clip_all[..., 3:4]     # ortho: w == 1
+
+    base_bias = 0.0008
+    slope_bias = 0.0025 * (1.0 - n_dot_l)
+    bias = base_bias + slope_bias
+    return proj_all, bias
+
+
+def _select_cascade(proj_all: jnp.ndarray, cascade: jnp.ndarray):
+    """One-hot select one cascade's projection: (uv, receiver, in_bounds).
+    Pure VPU work — a per-pixel matrix gather would be a serial loop."""
     n_casc = proj_all.shape[0]
     sel = (cascade[None] == jnp.arange(n_casc, dtype=jnp.int32).reshape(
         (n_casc,) + (1,) * cascade.ndim))
@@ -131,10 +138,21 @@ def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
     receiver = proj[..., 2]
     in_bounds = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
                  & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
+    return uv, receiver, in_bounds
 
-    base_bias = 0.0008
-    slope_bias = 0.0025 * (1.0 - n_dot_l)
-    bias = base_bias + slope_bias
+
+def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
+                   world: jnp.ndarray, normal: jnp.ndarray,
+                   n_dot_l: jnp.ndarray):
+    """Normal-offset bias + light-space projection for one cascade
+    (gltf.frag:391-410 == 453-469).
+
+    TPU note: gathering a per-pixel 4x4 matrix (lightViewProj[cascade]) is
+    a row gather XLA lowers to a serial loop (~30ms/frame); projecting
+    densely through ALL 4 cascades and one-hot selecting is pure VPU work
+    and ~free."""
+    proj_all, bias = _project_all(uni, world, normal, n_dot_l)
+    uv, receiver, in_bounds = _select_cascade(proj_all, cascade)
     return uv, receiver, bias, in_bounds
 
 
@@ -340,6 +358,17 @@ def _classified_project(uni: FrameUniforms, cmaps, cascade, world, normal,
     return uv, receiver, inb, lit, umbra
 
 
+def _classified_select(cmaps, proj_all, bias, cascade, softness,
+                       use_pcss):
+    """_classified_project on a precomputed _project_all result."""
+    from .shadow_classify import classify
+
+    uv, receiver, inb = _select_cascade(proj_all, cascade)
+    receiver = receiver - bias                            # gltf.frag:410
+    lit, umbra = classify(cmaps, cascade, uv, receiver, softness, use_pcss)
+    return uv, receiver, inb, lit, umbra
+
+
 def _pair_classification(uni: FrameUniforms, cmaps, c0, c1, blend, world,
                          normal, n_dot_l, softness, use_pcss: bool,
                          valid, committed: bool = False):
@@ -356,17 +385,19 @@ def _pair_classification(uni: FrameUniforms, cmaps, c0, c1, blend, world,
 
     n = blend.size
 
-    uv0, r0, inb0, lit0, um0 = _classified_project(
-        uni, cmaps, c0, world, normal, n_dot_l, softness, use_pcss)
+    # ONE dense projection through all cascades; c0 and c1 each one-hot
+    # select from it (the einsum was previously paid twice — r5).
+    proj_all, bias = _project_all(uni, world, normal, n_dot_l)
+    uv0, r0, inb0, lit0, um0 = _classified_select(
+        cmaps, proj_all, bias, c0, softness, use_pcss)
 
     # c1's classes are only CONSUMED inside the blend band (needs1 has
     # `& blend`; the pair-closure `where(blend, ...)` ignores them
     # elsewhere), and bands cover a few % of the screen — so c1's cell
     # gather runs block-sparsely over band blocks (projection itself is
     # dense math and stays dense: uv1/r1 feed the tap payload).
-    uv1, recv1, bias1, inb1 = _light_project(uni, c1, world, normal,
-                                             n_dot_l)
-    r1 = recv1 - bias1                                   # gltf.frag:410
+    uv1, recv1, inb1 = _select_cascade(proj_all, c1)
+    r1 = recv1 - bias                                    # gltf.frag:410
     band_mask = blend & valid
 
     def classify_c1_dense(_):
