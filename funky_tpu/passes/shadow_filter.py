@@ -721,11 +721,22 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                 ox = jnp.clip(lo_x, 0, s_full - wc)
                 win = jax.lax.dynamic_slice(
                     shadow_maps, (c, oy, ox, 0), (1, wc, wc, 4))[0]
-                vals = jax.lax.cond(
-                    fits_w,
-                    lambda _, win=win, oy=oy, ox=ox: taps(
-                        (win, (oy, ox), s_full)),
-                    lambda _: taps(None), operand=None)
+                if committed:
+                    # Elided window-fit cond (GltfFrameFlags.committed):
+                    # the r3 verdict against windows was the fit cert +
+                    # cond serialization, not the gather rate — with the
+                    # cond gone the sub-cliff window gathers ~2x faster
+                    # rows. An entry outside the window clamps to its
+                    # edge texels (bounded local artifact); the driver's
+                    # poll sees tap_extent_per_cascade vs the window
+                    # (utils.autotune.capacity_overflows) and re-tunes.
+                    vals = taps((win, (oy, ox), s_full))
+                else:
+                    vals = jax.lax.cond(
+                        fits_w,
+                        lambda _, win=win, oy=oy, ox=ox: taps(
+                            (win, (oy, ox), s_full)),
+                        lambda _: taps(None), operand=None)
             else:
                 vals = taps(None)
             dense = scatter_back(dense, compc, vals)

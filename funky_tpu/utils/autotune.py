@@ -103,15 +103,30 @@ def derive_sparse_config(cfg, occ):
     # cover) — ~1 ms of slicing vs ~14 ms of compaction relayouts. Keep
     # the block path only when the row band is much looser than the
     # block cover (sparse mid-screen geometry).
-    # Tap windows: DISABLED. Isolated attribution on the real frame's
-    # compacted inputs (experiments/profile_taps.py, r3) measured the
-    # windowed tap path at 40.6 ms vs 25.6 ms for plain full-table
-    # gathers — the dynamic window slice + cond costs more than the
-    # under-cliff gather rate saves, even with the cheap segment-reduced
-    # certificate, and the index-LAYOUT fix (ops/sampling.take_rows)
-    # closes most of the rate gap windows were chasing. The mechanism
-    # stays in cascaded_shadow_sparse for tap-dominated configs.
+    # Tap windows: committed-mode only. The r3 verdict against windows
+    # (profile_taps: 40.6 ms windowed vs 25.6 plain) was the fit
+    # certificate + lax.cond serialization, not the gather rate — in
+    # committed mode the cond is elided and the sub-cliff sub-table
+    # (<= 384^2 quad rows ~= 2.4 MB) gathers ~2x faster rows. Derive a
+    # window for every cascade whose measured tap extent + worst-case
+    # tap padding fits under the cliff; extent overflow is a bounded
+    # edge-clamp artifact the driver's poll catches
+    # (capacity_overflows checks tap_extent_per_cascade).
     tap_windows = None
+    if getattr(cfg.flags, "committed", False) \
+            and "tap_extent_per_cascade" in occ:
+        import math
+        pad_max = math.ceil(4.0 * cfg.max_softness) + 2
+        wins = []
+        for c in range(4):
+            ext = int(occ["tap_extent_per_cascade"][c])
+            if ext <= 0:
+                wins.append(0)
+                continue
+            need = _round_up(ext + 2 * pad_max + 6, 64)
+            wins.append(need if need <= 384
+                        and need < cfg.shadow_map_size // 2 else 0)
+        tap_windows = tuple(wins) if any(wins) else None
 
     span_rows = _round_up(min(occ["valid_row_span"] * 1.1 + 8,
                               cfg.height), 8)
@@ -192,6 +207,16 @@ def capacity_overflows(cfg, occ) -> list:
             chk(f"shadow_pen_cascade_caps[{c}]", n, cap)
     chk("shadow_pen_block_capacity", occ["pair_blocks"],
         cfg.shadow_pen_block_capacity)
+    # Committed-mode tap windows: an extent outgrowing its window means
+    # edge-clamped (wrong) taps — poll it like a capacity (r5).
+    if (cfg.shadow_tap_windows is not None
+            and "tap_extent_per_cascade" in occ):
+        import math
+        pad_max = math.ceil(4.0 * cfg.max_softness) + 2
+        for c, wc in enumerate(cfg.shadow_tap_windows):
+            if wc:
+                chk(f"shadow_tap_windows[{c}]",
+                    occ["tap_extent_per_cascade"][c] + 2 * pad_max + 2, wc)
     if cfg.light_fetch_caps is not None \
             and "light_fetch_per_cascade" in occ:
         sizes = cfg.effective_light_windows() or (0,) * 4

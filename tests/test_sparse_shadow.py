@@ -452,3 +452,20 @@ def test_tap_window_overflow_falls_back_exact(duck_setup):
     img_t, _ = _run(scene, tiny, params)
     img_f, _ = _run(scene, base, params)
     np.testing.assert_allclose(img_t, img_f, atol=1e-6)
+
+
+def test_tap_windows_committed_match(duck_setup):
+    """Committed mode elides the window-fit cond (r5): with windows that
+    FIT, the committed windowed frame reads the same texels — output
+    agrees with the committed full-table frame within the documented
+    cross-program fp envelope (tests/test_committed.py)."""
+    scene, cfg, params = duck_setup
+    com = dataclasses.replace(
+        cfg, shadow_pen_capacity=256 * 144,
+        flags=dataclasses.replace(cfg.flags, committed=True))
+    win = dataclasses.replace(com,
+                              shadow_tap_windows=(192, 192, 192, 192))
+    img_w, _ = _run(scene, win, params)
+    img_f, _ = _run(scene, com, params)
+    np.testing.assert_allclose(img_w, img_f, atol=0.02)
+    assert np.mean(np.abs(img_w - img_f)) < 1e-3
