@@ -272,6 +272,12 @@ class GltfConfig:
     # overhead).
     shadow_pen_block_capacity: int | None = None
     contact_block_capacity: int | None = None
+    # Committed-mode contact march window (passes/contact.py): stage-3
+    # survivors cluster around the occluder, so their probes read a
+    # (contact_window)^2 dynamic slice of the packed prev-depth at the
+    # sub-cliff gather rate. None = full-table reads (exact default);
+    # derived by autotune from the measured probe-bbox extent.
+    contact_window: int | None = None
     # TAA misaligned-frame history read compaction: only in-bounds
     # low-motion pixels consume their history row (passes/taa.py), so
     # moving frames gather `taa_need_capacity` rows instead of the full
@@ -587,7 +593,8 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                 plane=contact.reference_plane(
                     scene.positions, scene.tri_indices,
                     uni.prev_view_proj, cfg.width, cfg.height),
-                committed=flags.committed)
+                committed=flags.committed,
+                march_window=cfg.contact_window)
         else:
             contact_term = contact.compute_contact_shadow(
                 gbuf.world, normal, uni, state.prev_depth, y0, frag=frag)
@@ -815,7 +822,8 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                 plane=contact.reference_plane(
                     scene.positions, scene.tri_indices,
                     uni_s.prev_view_proj, cfg.width, cfg.height),
-                committed=flags.committed)
+                committed=flags.committed,
+                march_window=cfg.contact_window)
     else:
         def contact_fn(world_s, normal_s, uni_s, depth_s, y0_s, valid_s,
                        frag_s=None):

@@ -473,6 +473,49 @@ def sample_depth_dual_packed(packed: jnp.ndarray, uv: jnp.ndarray):
     return bilinear, nearest
 
 
+def sample_depth_dual_window(window: jnp.ndarray, origin,
+                             full_hw, uv: jnp.ndarray):
+    """sample_depth_dual_packed through a dynamic-sliced (wh, ww, 4)
+    sub-table of the full (H, W, 4) quad-packed depth at integer
+    `origin` (oy, ox) — sub-cliff gather rate for probe sets that
+    cluster (the contact march). Bit-identical to the full-table read
+    while the quad base lies inside the window; outside, the read clamps
+    to the window edge (committed-mode usage: callers bound the probe
+    extent and the driver polls it)."""
+    h, w = full_hw
+    wh, ww, _ = window.shape
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    ix = jnp.clip(x0, 0, w - 1)
+    iy = jnp.clip(y0, 0, h - 1)
+    lx = jnp.clip(ix - origin[1], 0, ww - 1)
+    ly = jnp.clip(iy - origin[0], 0, wh - 1)
+    quad = _row_gather(window, ly, lx)
+    c00, c10, c01, c11 = _quad_corners(quad, x0 >= 0, y0 >= 0)
+    fx = jnp.clip(fx, 0.0, 1.0)
+    fy = jnp.clip(fy, 0.0, 1.0)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    bilinear = top * (1 - fy) + bot * fy
+    nx = jnp.clip(jnp.floor(uv[..., 0] * w).astype(jnp.int32), 0, w - 1) \
+        - ix
+    ny = jnp.clip(jnp.floor(uv[..., 1] * h).astype(jnp.int32), 0, h - 1) \
+        - iy
+    nx = jnp.clip(nx, 0, 1)
+    ny = jnp.clip(ny, 0, 1)
+    nearest = jnp.where(
+        ny == 0,
+        jnp.where(nx == 0, c00, c10),
+        jnp.where(nx == 0, c01, c11))
+    return bilinear, nearest
+
+
 def _gather_layered(maps: jnp.ndarray, layer: jnp.ndarray,
                     iy: jnp.ndarray, ix: jnp.ndarray):
     """maps (L, H, W); per-element layer index."""

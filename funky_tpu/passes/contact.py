@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.sampling import (quad_pack, sample_depth_dual_packed,
-                            take_rows)
+                            sample_depth_dual_window, take_rows)
 from .shadow_filter import interleaved_gradient_noise
 from .uniforms import FrameUniforms
 
@@ -122,9 +122,13 @@ def _ray_setup(world: jnp.ndarray, normal: jnp.ndarray,
 
 
 def _march(depth_packed: jnp.ndarray, march_start: jnp.ndarray,
-           march_dir: jnp.ndarray, jitter: jnp.ndarray) -> jnp.ndarray:
+           march_dir: jnp.ndarray, jitter: jnp.ndarray,
+           window=None) -> jnp.ndarray:
     """The 8-linear + 4-bisection hybrid root find (gltf.frag:253-318,
-    341-349) on any batch shape. Returns (intersected, max_t, last_pen)."""
+    341-349) on any batch shape. Returns (intersected, max_t, last_pen).
+    `window` = (win (cw, cw, 4), origin (oy, ox), (H, W)) routes the
+    dual-depth reads through a dynamic-sliced sub-table (sub-cliff
+    gather rate; committed-mode march windows)."""
     shape = jitter.shape
     min_t = jnp.zeros(shape, jnp.float32)
     max_t = jnp.ones(shape, jnp.float32)
@@ -138,7 +142,13 @@ def _march(depth_packed: jnp.ndarray, march_start: jnp.ndarray,
         uv = cs[..., :2] * 0.5 + 0.5
         inb = ((uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
                & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0))
-        d_max, d_min = _sample_depth_dual(depth_packed, uv)
+        if window is not None:
+            raw_l, raw_n = sample_depth_dual_window(
+                window[0], window[1], window[2], uv)
+            d_max = jnp.maximum(_linearize(raw_l), _linearize(raw_n))
+            d_min = jnp.minimum(_linearize(raw_l), _linearize(raw_n))
+        else:
+            d_max, d_min = _sample_depth_dual(depth_packed, uv)
         ray_depth = _linearize(cs[..., 2])
         # ray behind the surface (farther than stored depth) => occluded
         distance = d_max - ray_depth
@@ -636,9 +646,26 @@ def contact_occupancy(world: jnp.ndarray, normal: jnp.ndarray,
     stage2 = contact_classify(pyr, march_start, march_dir, cand,
                               prev_depth.shape)
     cert2 = _stage2_certify(pyr, march_start, march_dir, jitter, size)
+    st3 = stage2 & ~cert2
+    # Stage-3 probe bbox extent (pixels) — sizes the committed-mode
+    # march window (GltfConfig.contact_window): probes lie on the
+    # segment between the endpoints, so the {p0, p1} bbox over stage-3
+    # rays (+ dual-sampler footprint) bounds them all.
+    p0 = (march_start[..., :2] * 0.5 + 0.5) * size
+    p1 = ((march_start[..., :2] + march_dir[..., :2]) * 0.5 + 0.5) * size
+    big = jnp.float32(1 << 28)
+    m = st3[..., None]
+    lo = jnp.min(jnp.where(m, jnp.minimum(p0, p1), big), axis=tuple(
+        range(st3.ndim)))
+    hi = jnp.max(jnp.where(m, jnp.maximum(p0, p1), -big), axis=tuple(
+        range(st3.ndim)))
+    ext = jnp.where(jnp.any(st3),
+                    jnp.ceil(jnp.max(hi - lo) + 2.0 * (FOOT + 1.0)),
+                    0.0).astype(jnp.int32)
     return {"_stage2": stage2,  # raw mask (block-occupancy diagnostics)
             "contact_stage2": jnp.sum(stage2),
-            "contact_march": jnp.sum(stage2 & ~cert2)}
+            "contact_march": jnp.sum(st3),
+            "contact_march_extent": ext}
 
 
 def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
@@ -650,7 +677,8 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
                                   block_capacity: int | None = None,
                                   frag: jnp.ndarray | None = None,
                                   plane: jnp.ndarray | None = None,
-                                  committed: bool = False
+                                  committed: bool = False,
+                                  march_window: int | None = None
                                   ) -> jnp.ndarray:
     """Sparse-exact contact shadows: identical outputs to
     compute_contact_shadow where `valid` (geometry coverage — sky pixels'
@@ -746,8 +774,34 @@ def compute_contact_shadow_sparse(world: jnp.ndarray, normal: jnp.ndarray,
     def eval_sparse(_):
         dense = jnp.ones((n,), jnp.float32)
         rows = gather_rows(payload, comp3)
-        inter, max_t, last_pen = _march(depth_packed, rows[:, 0:3],
-                                        rows[:, 3:6], rows[:, 6])
+        start3, dir3, jit3 = rows[:, 0:3], rows[:, 3:6], rows[:, 6]
+        window = None
+        if committed and march_window is not None \
+                and march_window < min(hd, wd):
+            # Committed-mode march window (r5): stage-3 survivors cluster
+            # around the occluder bbox, so their 12 probes read a
+            # dynamic-sliced sub-table of prev_depth at the sub-cliff
+            # gather rate instead of the full 33 MB packed frame. Probes
+            # lie on the segment between the endpoints, so the entry
+            # bbox of {p0, p1} (+ dual-sampler footprint) bounds them
+            # all. An entry past the static window clamps to the edge
+            # (bounded local artifact); the driver polls the measured
+            # extent (contact_march_extent in capacity_overflows).
+            cw = march_window
+            p0 = (start3[:, :2] * 0.5 + 0.5) * size
+            p1 = ((start3[:, :2] + dir3[:, :2]) * 0.5 + 0.5) * size
+            big = jnp.float32(1 << 28)
+            v = comp3.slot_valid
+            lo = jnp.minimum(
+                jnp.min(jnp.where(v[:, None], jnp.minimum(p0, p1), big),
+                        axis=0) - FOOT - 1.0, big)
+            oy = jnp.clip(lo[1].astype(jnp.int32), 0, hd - cw)
+            ox = jnp.clip(lo[0].astype(jnp.int32), 0, wd - cw)
+            win = jax.lax.dynamic_slice(depth_packed, (oy, ox, 0),
+                                        (cw, cw, 4))
+            window = (win, (oy, ox), (hd, wd))
+        inter, max_t, last_pen = _march(depth_packed, start3, dir3, jit3,
+                                        window=window)
         term = _soft_term(inter & comp3.slot_valid, max_t, last_pen)
         return scatter_back(dense, comp3, term).reshape(batch)
 

@@ -171,6 +171,15 @@ def derive_sparse_config(cfg, occ):
         shadow_tap_windows=tap_windows,
         contact_capacity=cap1k(occ["contact_stage2"], 1.15),
         contact_march_capacity=cap1k(occ["contact_march"], 1.15),
+        # Committed-mode march window: adopt when the measured stage-3
+        # probe bbox fits a sub-cliff slice (<= 384^2 quad ~= 2.4 MB).
+        contact_window=(
+            _round_up(int(occ["contact_march_extent"] * 1.15) + 16, 64)
+            if getattr(cfg.flags, "committed", False)
+            and 0 < occ.get("contact_march_extent", 0)
+            and _round_up(int(occ["contact_march_extent"] * 1.15) + 16,
+                          64) <= 384
+            else None),
         # Sparse TAA history read (passes/taa.py): only sized when the
         # measured mismatched-regime need is well below the domain (a
         # near-full cap just adds compaction overhead to the dense
@@ -234,6 +243,9 @@ def capacity_overflows(cfg, occ) -> list:
         cfg.contact_march_capacity)
     chk("contact_block_capacity", occ["contact_blocks"],
         cfg.contact_block_capacity)
+    if "contact_march_extent" in occ:
+        chk("contact_window", occ["contact_march_extent"],
+            cfg.contact_window)
     if "taa_need" in occ:
         chk("taa_need_capacity", occ["taa_need"], cfg.taa_need_capacity)
     chk("texture_block_capacity", occ["texture_blocks"],

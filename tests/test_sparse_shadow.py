@@ -469,3 +469,64 @@ def test_tap_windows_committed_match(duck_setup):
     img_f, _ = _run(scene, com, params)
     np.testing.assert_allclose(img_w, img_f, atol=0.02)
     assert np.mean(np.abs(img_w - img_f)) < 1e-3
+
+
+def test_contact_march_window_committed_bounded_and_polled(duck_setup):
+    """Committed-mode contact march window (r5) contract at a window
+    SMALLER than the stage-3 probe bbox (at this 256x144 config the
+    border-band rays spread the bbox to 262 px, so no in-frame window
+    fits — autotune would derive None): out-of-window probes clamp to
+    the window edge, a BOUNDED local artifact (a handful of pixels, not
+    a structural change), and the driver's poll flags the overflow via
+    contact_march_extent."""
+    from funky_tpu.utils.autotune import capacity_overflows
+    from funky_tpu.utils.diagnostics import measure_sparse_occupancy
+
+    scene, cfg, params = duck_setup
+    com = dataclasses.replace(
+        cfg, flags=dataclasses.replace(cfg.flags, committed=True))
+    win = dataclasses.replace(com, contact_window=128)
+    img_w, _ = _run(scene, win, params)
+    img_f, _ = _run(scene, com, params)
+    bad = np.abs(img_w - img_f) > 0.02
+    assert np.mean(bad) < 2e-3      # bounded local artifact
+    occ = measure_sparse_occupancy(scene, params, win)
+    assert "contact_window" in capacity_overflows(win, occ)
+
+
+def test_contact_march_window_fitting_bit_exact():
+    """_march through a window that covers every probe is bit-identical
+    to the full-table march (same texels, same math)."""
+    import jax.numpy as jnp
+
+    from funky_tpu.ops.sampling import quad_pack
+    from funky_tpu.passes.contact import _march
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 128
+    depth = jnp.asarray(rng.uniform(0.3, 1.0, (h, w)), jnp.float32)
+    packed = quad_pack(depth)
+    n = 40
+    # segments confined to the central third of the screen
+    start = jnp.asarray(np.stack([
+        rng.uniform(-0.2, 0.2, n), rng.uniform(-0.2, 0.2, n),
+        rng.uniform(0.3, 0.9, n)], -1), jnp.float32)
+    direction = jnp.asarray(np.stack([
+        rng.uniform(-0.1, 0.1, n), rng.uniform(-0.1, 0.1, n),
+        rng.uniform(-0.05, 0.05, n)], -1), jnp.float32)
+    jitter = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    full = _march(packed, start, direction, jitter)
+    win = (packed[8:56, 24:104], (8, 24), (h, w))
+    windowed = _march(packed, start, direction, jitter, window=win)
+    for a, b in zip(full, windowed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_contact_march_window_conded_ignored(duck_setup):
+    """Without committed, contact_window must be inert (the cond'd path
+    is the parity reference): bit-identical frames."""
+    scene, cfg, params = duck_setup
+    win = dataclasses.replace(cfg, contact_window=128)
+    img_w, _ = _run(scene, win, params)
+    img_f, _ = _run(scene, cfg, params)
+    np.testing.assert_array_equal(img_w, img_f)
