@@ -258,6 +258,11 @@ class GltfConfig:
     # per-cascade pair capacities (4-tuple) — lets each cascade's taps
     # gather from its own small table; None = shadow_pen_capacity each.
     shadow_pen_cascade_caps: tuple | None = None
+    # per-cascade RADIUS-ONLY group capacities (r5): pair entries whose
+    # own side is LIT-certified need only the 16-tap blocker search
+    # (their m1 = m2 = 1 provably; the radius feeds the TAA variance
+    # clamp) — ~70% of flagship pairs. Bit-exact; None = no split.
+    shadow_lit_cascade_caps: tuple | None = None
     # per-cascade tap-window sizes (4-tuple of texels, 0 = full table):
     # penumbra taps cluster in a small uv region, so each cascade's taps
     # gather from a dynamic-sliced (Wc, Wc, 4) sub-table — under the
@@ -560,7 +565,7 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
                 cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows,
                 light_maps, flags.skip_backfacing_shadows,
-                flags.committed)
+                flags.committed, cfg.shadow_lit_cascade_caps)
         else:
             sres, c0, c1, ct = shadow_filter.cascaded_shadow(
                 uni, shadow_maps, gbuf.world, normal, n_dot_l, view_depth,
@@ -781,7 +786,7 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
                 cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows,
                 light_maps, flags.skip_backfacing_shadows,
-                flags.committed)
+                flags.committed, cfg.shadow_lit_cascade_caps)
         return shadow_filter.cascaded_shadow(
             uni, shadow_maps, world_s, normal_s, ndl_s, vdepth_s, frag_s,
             flags.use_pcss)

@@ -158,7 +158,7 @@ def _light_project(uni: FrameUniforms, cascade: jnp.ndarray,
 
 def _pcss_taps(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                layer: jnp.ndarray, uv: jnp.ndarray, receiver: jnp.ndarray,
-               phi: jnp.ndarray, window=None):
+               phi: jnp.ndarray, window=None, radius_only: bool = False):
     """The PCSS tap core (gltf.frag:366-449) on arbitrary batch shapes:
     blocker search + penumbra estimate + penumbra-radius PCF.
 
@@ -166,6 +166,11 @@ def _pcss_taps(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     rebases all taps into a dynamic-sliced sub-table of ONE cascade:
     (rows (Wc, Wc, 4), origin (2,) int32 (oy, ox), full map size S) —
     bit-identical values, small-table gather speed (ops/sampling.py).
+    radius_only skips the 16-tap PCF phase and returns m1 = m2 = 1: for
+    LIT-certified entries every compare tap provably passes
+    (shadow_classify LIT soundness), so only the blocker search is
+    needed — for the penumbra radius the TAA variance clamp consumes —
+    at 16 gathered rows instead of 34 (r5 radius-only groups).
     Returns (m1, m2, penumbra, has_blockers)."""
     texel = uni.shadow_map_size[2]
     light_size_texels = uni.shadow_bias[0] * 2.0          # gltf.frag:415
@@ -193,6 +198,10 @@ def _pcss_taps(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         blocker_depth, 1e-8)
     penumbra = jnp.clip(penumbra_ratio * light_size_texels, 0.5,
                         light_size_texels * 2.0)
+
+    if radius_only:
+        one = jnp.ones_like(penumbra)
+        return one, one, penumbra, has_blockers
 
     # Step 3: PCF with penumbra-sized kernel (gltf.frag:433-449), again
     # one batched gather for all 16 taps.
@@ -473,7 +482,8 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                            tap_windows: tuple | None = None,
                            light_maps=None,
                            skip_backfacing: bool = False,
-                           committed: bool = False):
+                           committed: bool = False,
+                           lit_cascade_caps: tuple | None = None):
     """Sparse-exact main shadow evaluation: identical outputs to
     `cascaded_shadow` — bit-exact while the compaction capacities hold,
     and on overflow lax.cond falls back to the full dense evaluation
@@ -504,6 +514,14 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         window fetch their result with ONE gathered row instead of ~34
         tap rows (a documented perf deviation — see the module
         docstring); everything else keeps the exact tap path.
+      lit_cascade_caps: static per-cascade capacities for the
+        RADIUS-ONLY groups (r5, PCSS only): a pair entry whose own side
+        is LIT-certified has m1 = m2 = 1 provably (shadow_classify LIT
+        soundness — every compare tap passes), so it only needs the
+        16-tap blocker search for the penumbra radius the TAA variance
+        clamp consumes, not the 34-row full core. Bit-exact vs the full
+        evaluation (~70% of flagship pairs are band entries with a
+        certified-lit side). None = no split (every entry full-core).
     """
     from ..ops.compact import (Compacted, compact_indices,
                                compact_indices_blocked, gather_rows,
@@ -575,14 +593,35 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
 
         fetch = jnp.stack([_fetchable(c0, uv0, r0, needs0),
                            _fetchable(c1, uv1, r1, needs1)])
-        group_key = pair_layer + n_casc * fetch.astype(jnp.int32)
-        n_groups = 2 * n_casc
         caps_f = tuple(light_caps) if light_caps is not None \
             else tuple(cap if light_sizes[c] else 0 for c in range(n_casc))
     else:
-        group_key = pair_layer
-        n_groups = n_casc
+        fetch = jnp.zeros(needs.shape, bool)
         caps_f = ()
+
+    # Radius-only split (see lit_cascade_caps in the docstring): entries
+    # whose own side is LIT-certified only need the blocker search. A
+    # fetchable entry stays a fetch (1 row beats 16).
+    rad_split = use_pcss and lit_cascade_caps is not None
+    if rad_split:
+        rad = jnp.stack([needs0 & lit0, needs1 & lit1]) & ~fetch
+        caps_r = tuple(lit_cascade_caps)
+    else:
+        rad = jnp.zeros(needs.shape, bool)
+        caps_r = ()
+
+    # Group order: [full taps x n_casc][radius-only x n_casc if split]
+    # [fetch x n_casc if light]. Each group is a contiguous segment of
+    # ONE grouped compaction.
+    n_kinds = 1 + (1 if rad_split else 0) + (1 if caps_f else 0)
+    if rad_split and caps_f:
+        kind = jnp.where(fetch, 2, rad.astype(jnp.int32))
+    elif rad_split:
+        kind = rad.astype(jnp.int32)
+    else:
+        kind = fetch.astype(jnp.int32)
+    group_key = pair_layer + n_casc * kind
+    n_groups = n_kinds * n_casc
 
     # Group the compacted pairs by (cascade, tap|fetch): each cascade's
     # tap segment gathers from its OWN (S, S, 4) table (see cascade_caps),
@@ -615,7 +654,7 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     offs = jnp.cumsum(counts_c) - counts_c
     caps_c = tuple(cascade_caps) if cascade_caps is not None \
         else (cap,) * n_casc
-    caps_all = caps_c + caps_f
+    caps_all = caps_c + caps_r + caps_f
     fits = (comp.count <= cap) & fits_blocks & jnp.all(
         counts_c <= jnp.asarray(caps_all, jnp.int32))
 
@@ -653,7 +692,8 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
 
         for g in range(len(caps_all)):
             c = g % n_casc
-            is_fetch = g >= n_casc
+            is_radius = rad_split and n_casc <= g < 2 * n_casc
+            is_fetch = bool(caps_f) and g >= (n_kinds - 1) * n_casc
             cc = caps_all[g]
             if cc == 0:
                 continue
@@ -687,11 +727,15 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
             layer0 = jnp.zeros((cc,), jnp.int32)
 
             def taps(window, c=c, uv_e=uv_e, recv_e=recv_e, phi_e=phi_e,
-                     maps_c=maps_c, layer0=layer0):
+                     maps_c=maps_c, layer0=layer0, is_radius=is_radius):
                 if use_pcss:
+                    # Radius-only groups: the side is LIT-certified, so
+                    # m1 = m2 = 1 provably and _pcss_taps skips the PCF
+                    # phase (16 rows instead of 34) — bit-exact.
                     m1, m2, pen, hasb = _pcss_taps(uni, maps_c, layer0,
                                                    uv_e, recv_e, phi_e,
-                                                   window=window)
+                                                   window=window,
+                                                   radius_only=is_radius)
                     one = jnp.ones_like(m1)
                     # Entries are in-bounds by construction; the
                     # no-blocker lit override still applies
@@ -787,7 +831,7 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
     if valid is None:
         valid = jnp.ones(c0.shape, bool)
     blend = t > 0.0
-    (uv0, r0, _, lit0, um0, uv1, r1, _, _, _, needs0,
+    (uv0, r0, _, lit0, um0, uv1, r1, _, lit1, _, needs0,
      needs1) = _pair_classification(uni, cmaps, c0, c1, blend, world,
                                     normal, n_dot_l, softness, use_pcss,
                                     valid, committed=committed)
@@ -822,6 +866,14 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
         fetch = jnp.stack([_fetchable(c0, uv0, r0, needs0),
                            _fetchable(c1, uv1, r1, needs1)])
     taps = needs & ~fetch
+    # Radius-only split (r5): entries whose own side is LIT-certified go
+    # to the 16-row blocker-only groups (shadow_lit_cascade_caps); the
+    # full-core caps are sized from the remainder.
+    if use_pcss:
+        radm = taps & jnp.stack([lit0, lit1])
+    else:
+        radm = jnp.zeros(taps.shape, bool)
+    taps_full = taps & ~radm
 
     # Per-cascade base-texel bounding-box extents of the needed taps —
     # sizes GltfConfig.shadow_tap_windows (add the tap-radius padding
@@ -863,7 +915,9 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
         # tap-only counts size the per-cascade tap caps; fetch counts size
         # light_fetch_caps
         "pairs_per_cascade": jnp.stack(
-            [jnp.sum(taps & (pair_layer == c)) for c in range(4)]),
+            [jnp.sum(taps_full & (pair_layer == c)) for c in range(4)]),
+        "pairs_lit_per_cascade": jnp.stack(
+            [jnp.sum(radm & (pair_layer == c)) for c in range(4)]),
         "light_fetch_per_cascade": jnp.stack(
             [jnp.sum(fetch & (pair_layer == c)) for c in range(4)]),
         "tap_extent_per_cascade": jnp.stack(extents),

@@ -166,6 +166,15 @@ def derive_sparse_config(cfg, occ):
         shadow_pen_cascade_caps=tuple(
             cap1k(c + e, 1.15) for c, e in zip(occ["pairs_per_cascade"],
                                                extra_taps)),
+        # Radius-only groups (r5): LIT-certified pair sides run the
+        # 16-row blocker search instead of the 34-row full core —
+        # bit-exact, so unlike the deviation modes this is always on
+        # when measured. 0-count cascades get 0 (group skipped).
+        shadow_lit_cascade_caps=(tuple(
+            cap1k(c, 1.15) if c else 0
+            for c in occ["pairs_lit_per_cascade"])
+            if "pairs_lit_per_cascade" in occ
+            and any(occ["pairs_lit_per_cascade"]) else None),
         light_window_sizes=light_sizes,
         light_fetch_caps=light_caps,
         shadow_tap_windows=tap_windows,
@@ -213,7 +222,20 @@ def capacity_overflows(cfg, occ) -> list:
     if cfg.shadow_pen_cascade_caps is not None:
         for c, (n, cap) in enumerate(zip(occ["pairs_per_cascade"],
                                          cfg.shadow_pen_cascade_caps)):
+            # With no radius split configured, the frame's full groups
+            # absorb the lit-side entries too.
+            if cfg.shadow_lit_cascade_caps is None \
+                    and "pairs_lit_per_cascade" in occ:
+                n = n + occ["pairs_lit_per_cascade"][c]
             chk(f"shadow_pen_cascade_caps[{c}]", n, cap)
+    if cfg.shadow_lit_cascade_caps is not None \
+            and "pairs_lit_per_cascade" in occ:
+        for c, (n, cap) in enumerate(zip(occ["pairs_lit_per_cascade"],
+                                         cfg.shadow_lit_cascade_caps)):
+            if cap:
+                chk(f"shadow_lit_cascade_caps[{c}]", n, cap)
+            elif n:
+                over.append(f"shadow_lit_cascade_caps[{c}]")
     chk("shadow_pen_block_capacity", occ["pair_blocks"],
         cfg.shadow_pen_block_capacity)
     # Committed-mode tap windows: an extent outgrowing its window means

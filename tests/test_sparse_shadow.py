@@ -530,3 +530,35 @@ def test_contact_march_window_conded_ignored(duck_setup):
     img_w, _ = _run(scene, win, params)
     img_f, _ = _run(scene, cfg, params)
     np.testing.assert_array_equal(img_w, img_f)
+
+
+def test_radius_only_groups_match_full(duck_setup):
+    """r5 radius-only groups: LIT-certified pair sides run the 16-tap
+    blocker search only (their PCF result is provably all-pass) — the
+    frame must be bit-identical to the unsplit sparse path AND the dense
+    path."""
+    scene, cfg, params = duck_setup
+    base = dataclasses.replace(cfg, shadow_pen_capacity=256 * 144)
+    split = dataclasses.replace(
+        base, shadow_lit_cascade_caps=(8192, 8192, 8192, 8192))
+    img_s, st_s = _run(scene, split, params)
+    img_u, st_u = _run(scene, base, params)
+    np.testing.assert_allclose(img_s, img_u, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_s.shadow_history),
+                               np.asarray(st_u.shadow_history), atol=1e-6)
+    dense_cfg = dataclasses.replace(
+        cfg, flags=dataclasses.replace(cfg.flags, sparse_shadows=False))
+    img_d, _ = _run(scene, dense_cfg, params)
+    np.testing.assert_allclose(img_s, img_d, atol=1e-6)
+
+
+def test_radius_only_overflow_falls_back_exact(duck_setup):
+    """Undersized lit caps (including 0 with nonzero counts) take the
+    dense fallback cond — image unchanged."""
+    scene, cfg, params = duck_setup
+    base = dataclasses.replace(cfg, shadow_pen_capacity=256 * 144)
+    tiny = dataclasses.replace(base,
+                               shadow_lit_cascade_caps=(64, 0, 64, 0))
+    img_t, _ = _run(scene, tiny, params)
+    img_f, _ = _run(scene, base, params)
+    np.testing.assert_allclose(img_t, img_f, atol=1e-6)
