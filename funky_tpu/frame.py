@@ -277,6 +277,17 @@ class GltfConfig:
     # overhead).
     shadow_pen_block_capacity: int | None = None
     contact_block_capacity: int | None = None
+    # Routed window tap groups (r5, passes/shadow_filter.py): entries
+    # whose base texel sits inside the pre-planned occluder-footprint
+    # window (minus the traced tap-reach margin) gather their 34 tap
+    # rows from a dynamic-sliced sub-cliff window — EXACT containment
+    # by construction (per-entry value test, no certificate), ~2x the
+    # full-table gather rate. This windows cascade 1's duck-side taps,
+    # whose overall extent (~1341 texels) no single measured-bbox
+    # window can hold. sizes/caps derived by autotune (route only fires
+    # for cascades whose plain tap window is unavailable).
+    shadow_route_windows: tuple | None = None
+    shadow_route_caps: tuple | None = None
     # Committed-mode contact march window (passes/contact.py): stage-3
     # survivors cluster around the occluder, so their probes read a
     # (contact_window)^2 dynamic slice of the packed prev-depth at the
@@ -497,7 +508,7 @@ def _raw_frame_uniforms(params, state, cfg, flags):
 def shade_slab(scene: DeviceScene, uni, state: FrameState,
                shadow_maps, tri_id, depth, setup_data, blocks,
                cfg: GltfConfig, y0=0, class_maps=None, tri_flags=None,
-               light_maps=None):
+               light_maps=None, tap_routes=None):
     """Per-pixel back half of the frame for a row slab [y0, y0+h):
     deferred attributes -> cascade shadow filtering -> TAA -> contact
     shadows -> final shading (gltf.frag main). Pure; the single-chip frame
@@ -528,20 +539,22 @@ def shade_slab(scene: DeviceScene, uni, state: FrameState,
     if srows is not None:
         return _shade_slab_rows(scene, uni, state, shadow_maps, tri_id,
                                 depth, setup_data, blocks, cfg, y0,
-                                class_maps, tri_flags, srows, light_maps)
+                                class_maps, tri_flags, srows, light_maps,
+                                tap_routes)
     bcap = cfg.effective_valid_blocks(h, w)
     if bcap is not None and flags.effective_shadow_scale == 1:
         return _shade_slab_blocked(scene, uni, state, shadow_maps, tri_id,
                                    depth, setup_data, blocks, cfg, y0,
-                                   class_maps, tri_flags, bcap, light_maps)
+                                   class_maps, tri_flags, bcap, light_maps,
+                                   tap_routes)
     return _shade_slab_dense(scene, uni, state, shadow_maps, tri_id,
                              depth, setup_data, blocks, cfg, y0,
-                             class_maps, tri_flags, light_maps)
+                             class_maps, tri_flags, light_maps, tap_routes)
 
 
 def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                 gbuf, frag, cfg: GltfConfig, class_maps, old_history, y0,
-                light_maps=None):
+                light_maps=None, tap_routes=None):
     """The per-pixel back half on ANY domain shape (flat block-major for
     the blocked path): shadow filter -> TAA -> contact -> final shading.
     `frag` holds pixel centers (x+0.5 convention) in GLOBAL framebuffer
@@ -565,7 +578,8 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
                 cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows,
                 light_maps, flags.skip_backfacing_shadows,
-                flags.committed, cfg.shadow_lit_cascade_caps)
+                flags.committed, cfg.shadow_lit_cascade_caps,
+                tap_routes, cfg.shadow_route_caps)
         else:
             sres, c0, c1, ct = shadow_filter.cascaded_shadow(
                 uni, shadow_maps, gbuf.world, normal, n_dot_l, view_depth,
@@ -626,7 +640,7 @@ def _shade_core(scene: DeviceScene, uni, state: FrameState, shadow_maps,
 def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
                      shadow_maps, tri_id, depth, setup_data, blocks,
                      cfg: GltfConfig, y0, class_maps, tri_flags,
-                     slab_h: int, light_maps=None):
+                     slab_h: int, light_maps=None, tap_routes=None):
     """Valid-ROW-slab back half: geometry coverage is (in practice) one
     contiguous row band [horizon, bottom], so the whole dense back half
     runs on a dynamic_slice'd (slab_h, W) slab at the first covered row —
@@ -663,7 +677,8 @@ def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
         dep_s = jax.lax.dynamic_slice(depth, (y0d, 0), (slab_h, w))
         rgba_s, hist_s = _shade_slab_dense(
             scene, uni, state, shadow_maps, tri_s, dep_s, setup_data,
-            blocks, cfg, y0_arr + y0d, class_maps, tri_flags, light_maps)
+            blocks, cfg, y0_arr + y0d, class_maps, tri_flags, light_maps,
+            tap_routes)
         background = jnp.asarray(GLTF_CLEAR + (1.0,), jnp.float32)
         rgba = jax.lax.dynamic_update_slice(
             jnp.broadcast_to(background, (h, w, 4)), rgba_s, (y0d, 0, 0))
@@ -675,7 +690,8 @@ def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
     def dense(_):
         return _shade_slab_dense(scene, uni, state, shadow_maps, tri_id,
                                  depth, setup_data, blocks, cfg, y0,
-                                 class_maps, tri_flags, light_maps)
+                                 class_maps, tri_flags, light_maps,
+                                 tap_routes)
 
     if cfg.flags.committed:
         return slab(None)
@@ -685,7 +701,7 @@ def _shade_slab_rows(scene: DeviceScene, uni, state: FrameState,
 def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
                         shadow_maps, tri_id, depth, setup_data, blocks,
                         cfg: GltfConfig, y0, class_maps, tri_flags,
-                        bcap: int, light_maps=None):
+                        bcap: int, light_maps=None, tap_routes=None):
     """The unified valid-block back half (the TPU answer to the GPU only
     launching fragments where the raster emitted them, gltf.frag:1-656
     running once per COVERED pixel): compact 8x8 blocks with any coverage,
@@ -724,7 +740,7 @@ def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
                                        tri_flags, pxf, pyf)
         rgba_e, hist_e = _shade_core(scene, uni, state, shadow_maps, gbuf,
                                      frag, cfg, class_maps, old_hist_e, y0,
-                                     light_maps)
+                                     light_maps, tap_routes)
 
         background = jnp.asarray(GLTF_CLEAR + (1.0,), jnp.float32)
         base = jnp.concatenate([
@@ -736,7 +752,8 @@ def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
     def dense(_):
         return _shade_slab_dense(scene, uni, state, shadow_maps, tri_id,
                                  depth, setup_data, blocks, cfg, y0,
-                                 class_maps, tri_flags, light_maps)
+                                 class_maps, tri_flags, light_maps,
+                                 tap_routes)
 
     if cfg.flags.committed:
         return blocked(None)
@@ -746,7 +763,7 @@ def _shade_slab_blocked(scene: DeviceScene, uni, state: FrameState,
 def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                       shadow_maps, tri_id, depth, setup_data, blocks,
                       cfg: GltfConfig, y0=0, class_maps=None,
-                      tri_flags=None, light_maps=None):
+                      tri_flags=None, light_maps=None, tap_routes=None):
     """Dense 2D back half — the blocked path's overflow fallback, the
     shadow_eval_scale > 1 perf mode, and the bit-parity reference."""
     flags = cfg.flags
@@ -786,7 +803,8 @@ def _shade_slab_dense(scene: DeviceScene, uni, state: FrameState,
                 cfg.shadow_pen_capacity, cfg.shadow_pen_cascade_caps,
                 cfg.shadow_pen_block_capacity, cfg.shadow_tap_windows,
                 light_maps, flags.skip_backfacing_shadows,
-                flags.committed, cfg.shadow_lit_cascade_caps)
+                flags.committed, cfg.shadow_lit_cascade_caps,
+                tap_routes, cfg.shadow_route_caps)
         return shadow_filter.cascaded_shadow(
             uni, shadow_maps, world_s, normal_s, ndl_s, vdepth_s, frag_s,
             flags.use_pcss)
@@ -888,6 +906,7 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
     # -- shadow cascade depth passes --
     class_maps = None
     light_maps = None
+    tap_routes = None
     if flags.enable_shadows:
         from .ops.sampling import quad_pack
         from .passes.shadow_classify import (build_class_maps,
@@ -960,6 +979,21 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
                     rows_l.append(None)
             light_maps = (tuple(rows_l), tuple(origins),
                           tuple(light_sizes), cfg.light_fetch_caps)
+
+        # Routed window tap groups (shadow_filter route_windows): plan
+        # the footprint windows at the route sizes. Exact (containment
+        # is a per-entry value test), so no flag gates it — only the
+        # derived sizes/caps.
+        if (flags.sparse_shadows and cfg.shadow_route_windows is not None
+                and any(cfg.shadow_route_windows)
+                and cfg.shadow_route_caps is not None):
+            from .passes import shadow_lightspace as lsm
+
+            r_origins, _ = lsm.plan_windows(
+                uni, world_v, scene.vert_object, cfg.shadow_route_windows,
+                cfg.shadow_map_size, cfg.max_softness, cfg.class_coarse)
+            tap_routes = (tuple(r_origins),
+                          tuple(cfg.shadow_route_windows))
     else:
         shadow_maps = None
 
@@ -973,7 +1007,8 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
                                    tri_id, depth, setup.data, blocks_m, cfg,
                                    class_maps=class_maps,
                                    tri_flags=tri_flags_m,
-                                   light_maps=light_maps)
+                                   light_maps=light_maps,
+                                   tap_routes=tap_routes)
 
     new_state = FrameState(
         shadow_history=new_history,

@@ -483,7 +483,9 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                            light_maps=None,
                            skip_backfacing: bool = False,
                            committed: bool = False,
-                           lit_cascade_caps: tuple | None = None):
+                           lit_cascade_caps: tuple | None = None,
+                           route_windows=None,
+                           route_caps: tuple | None = None):
     """Sparse-exact main shadow evaluation: identical outputs to
     `cascaded_shadow` — bit-exact while the compaction capacities hold,
     and on overflow lax.cond falls back to the full dense evaluation
@@ -520,8 +522,20 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         soundness — every compare tap passes), so it only needs the
         16-tap blocker search for the penumbra radius the TAA variance
         clamp consumes, not the 34-row full core. Bit-exact vs the full
-        evaluation (~70% of flagship pairs are band entries with a
-        certified-lit side). None = no split (every entry full-core).
+        evaluation. None = no split (every entry full-core).
+      route_windows: (origins, sizes) of pre-planned per-cascade
+        occluder-footprint windows (passes/shadow_lightspace
+        plan_windows) for ROUTED window tap groups (r5): entries whose
+        base texel sits inside a window minus the traced tap-reach
+        margin go to a group whose 34 rows gather from the dynamic-
+        sliced sub-cliff window — EXACT containment by construction (a
+        per-entry VALUE test, no fit certificate, works conded or
+        committed), ~2x the gather rate of the 67 MB full table. This
+        is how cascade 1's taps (extent ~1341 texels — no single
+        measured-bbox window fits) still get windowed: its occluder
+        (duck) footprint is ~150 texels and holds most of its entries.
+      route_caps: static per-cascade capacities for the routed groups
+        (0 disables a cascade's route).
     """
     from ..ops.compact import (Compacted, compact_indices,
                                compact_indices_blocked, gather_rows,
@@ -599,6 +613,12 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         fetch = jnp.zeros(needs.shape, bool)
         caps_f = ()
 
+    # Traced tap-reach margin (texels): blocker search <= 2*softness,
+    # penumbra PCF <= 4*softness, + bilinear footprint/snap. Shared by
+    # the measured-bbox windows below and the route containment test.
+    pad = jnp.ceil(4.0 * jnp.maximum(softness, 1.0)).astype(
+        jnp.int32) + 2
+
     # Radius-only split (see lit_cascade_caps in the docstring): entries
     # whose own side is LIT-certified only need the blocker search. A
     # fetchable entry stays a fetch (1 row beats 16).
@@ -610,16 +630,59 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         rad = jnp.zeros(needs.shape, bool)
         caps_r = ()
 
-    # Group order: [full taps x n_casc][radius-only x n_casc if split]
-    # [fetch x n_casc if light]. Each group is a contiguous segment of
-    # ONE grouped compaction.
-    n_kinds = 1 + (1 if rad_split else 0) + (1 if caps_f else 0)
-    if rad_split and caps_f:
-        kind = jnp.where(fetch, 2, rad.astype(jnp.int32))
-    elif rad_split:
-        kind = rad.astype(jnp.int32)
+    # Routed window groups (see route_windows in the docstring): a
+    # per-entry containment test against the pre-planned footprint
+    # windows. Precedence fetch > route > radius (1 row beats 34 small
+    # rows beats 16 big rows).
+    routable = (route_windows is not None and route_caps is not None
+                and any(route_caps))
+    if routable:
+        r_origins, r_sizes = route_windows
+        caps_rt = tuple(route_caps)
+
+        def _in_route(cas, uv):
+            bx = jnp.floor(uv[..., 0] * s_full - 0.5).astype(jnp.int32)
+            by = jnp.floor(uv[..., 1] * s_full - 0.5).astype(jnp.int32)
+            inw = jnp.zeros(cas.shape, bool)
+            for c in range(n_casc):
+                if r_sizes[c] and caps_rt[c]:
+                    oy, ox = r_origins[c]
+                    inw = inw | (
+                        (cas == c)
+                        & (bx >= ox + pad) & (bx < ox + r_sizes[c] - pad
+                                              - 1)
+                        & (by >= oy + pad) & (by < oy + r_sizes[c] - pad
+                                              - 1))
+            return inw
+
+        route = (jnp.stack([_in_route(c0, uv0), _in_route(c1, uv1)])
+                 & needs & ~fetch)
+        rad = rad & ~route
     else:
-        kind = fetch.astype(jnp.int32)
+        route = jnp.zeros(needs.shape, bool)
+        caps_rt = ()
+
+    # Group order: [full taps x n_casc][radius-only][route][fetch] (each
+    # kind present only when configured). Each group is a contiguous
+    # segment of ONE grouped compaction.
+    nk = 1
+    if rad_split:
+        rad_k = nk
+        nk += 1
+    if routable:
+        route_k = nk
+        nk += 1
+    if caps_f:
+        fetch_k = nk
+        nk += 1
+    n_kinds = nk
+    kind = jnp.zeros(needs.shape, jnp.int32)
+    if rad_split:
+        kind = jnp.where(rad, rad_k, kind)
+    if routable:
+        kind = jnp.where(route, route_k, kind)
+    if caps_f:
+        kind = jnp.where(fetch, fetch_k, kind)
     group_key = pair_layer + n_casc * kind
     n_groups = n_kinds * n_casc
 
@@ -654,7 +717,7 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
     offs = jnp.cumsum(counts_c) - counts_c
     caps_c = tuple(cascade_caps) if cascade_caps is not None \
         else (cap,) * n_casc
-    caps_all = caps_c + caps_r + caps_f
+    caps_all = caps_c + caps_r + caps_rt + caps_f
     fits = (comp.count <= cap) & fits_blocks & jnp.all(
         counts_c <= jnp.asarray(caps_all, jnp.int32))
 
@@ -686,14 +749,15 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
         # k rows), not the full pixel domain: under `fits` the segments
         # contain every needed pair, so the certificate is exact, and the
         # r3 A/B loss from 16 full-frame reductions + a dense (2n, 2)
-        # relayout is gone.
-        pad = jnp.ceil(4.0 * jnp.maximum(softness, 1.0)).astype(
-            jnp.int32) + 2
+        # relayout is gone. (`pad` is the traced tap-reach margin
+        # computed above, shared with the route containment test.)
 
         for g in range(len(caps_all)):
             c = g % n_casc
-            is_radius = rad_split and n_casc <= g < 2 * n_casc
-            is_fetch = bool(caps_f) and g >= (n_kinds - 1) * n_casc
+            gk = g // n_casc
+            is_radius = rad_split and gk == rad_k
+            is_route = routable and gk == route_k
+            is_fetch = bool(caps_f) and gk == fetch_k
             cc = caps_all[g]
             if cc == 0:
                 continue
@@ -747,6 +811,19 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                 m1, m2, kern = _pcf_taps(uni, maps_c, layer0, uv_e,
                                          recv_e, phi_e, window=window)
                 return jnp.stack([m1, m1, m2, kern], axis=-1)
+
+            if is_route:
+                # Routed groups: every entry is inside the pre-planned
+                # footprint window minus the tap-reach margin — the
+                # dynamic-sliced sub-table read is EXACT by construction
+                # (no fit certificate, no cond).
+                wcr = int(r_sizes[c])
+                oy, ox = r_origins[c]
+                win = jax.lax.dynamic_slice(
+                    shadow_maps, (c, oy, ox, 0), (1, wcr, wcr, 4))[0]
+                dense = scatter_back(dense, compc,
+                                     taps((win, (oy, ox), s_full)))
+                continue
 
             wc = (int(tap_windows[c])
                   if tap_windows is not None and tap_windows[c] else 0)
@@ -813,7 +890,7 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
                    view_depth, screen_pos, use_pcss: bool,
                    valid: jnp.ndarray | None = None,
                    light_windows=None, skip_backfacing: bool = False,
-                   committed: bool = False):
+                   committed: bool = False, route_windows=None):
     """Diagnostic: classification histogram + the exact-tap pair count the
     sparse path would compact (use to size GltfConfig.shadow_pen_capacity,
     like ops.binning.bin_stats for raster capacities).
@@ -866,19 +943,46 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
         fetch = jnp.stack([_fetchable(c0, uv0, r0, needs0),
                            _fetchable(c1, uv1, r1, needs1)])
     taps = needs & ~fetch
+    # Routed window entries (r5): base texel inside a pre-planned
+    # footprint window minus the traced tap-reach margin — mirrors
+    # cascaded_shadow_sparse's containment test exactly (precedence
+    # fetch > route > radius).
+    routem = jnp.zeros(taps.shape, bool)
+    s_full = cmaps.size
+    if route_windows is not None:
+        r_origins, r_sizes = route_windows
+        pad = jnp.ceil(4.0 * jnp.maximum(softness, 1.0)).astype(
+            jnp.int32) + 2
+
+        def _in_route(cas, uv):
+            bx = jnp.floor(uv[..., 0] * s_full - 0.5).astype(jnp.int32)
+            by = jnp.floor(uv[..., 1] * s_full - 0.5).astype(jnp.int32)
+            inw = jnp.zeros(cas.shape, bool)
+            for c in range(4):
+                if r_sizes[c]:
+                    oy, ox = r_origins[c]
+                    inw = inw | (
+                        (cas == c)
+                        & (bx >= ox + pad) & (bx < ox + r_sizes[c] - pad
+                                              - 1)
+                        & (by >= oy + pad) & (by < oy + r_sizes[c] - pad
+                                              - 1))
+            return inw
+
+        routem = taps & jnp.stack([_in_route(c0, uv0),
+                                   _in_route(c1, uv1)])
     # Radius-only split (r5): entries whose own side is LIT-certified go
     # to the 16-row blocker-only groups (shadow_lit_cascade_caps); the
     # full-core caps are sized from the remainder.
     if use_pcss:
-        radm = taps & jnp.stack([lit0, lit1])
+        radm = taps & jnp.stack([lit0, lit1]) & ~routem
     else:
         radm = jnp.zeros(taps.shape, bool)
-    taps_full = taps & ~radm
+    taps_full = taps & ~radm & ~routem
 
     # Per-cascade base-texel bounding-box extents of the needed taps —
     # sizes GltfConfig.shadow_tap_windows (add the tap-radius padding
     # outside; see cascaded_shadow_sparse).
-    s_full = cmaps.size
     uvp = jnp.stack([uv0, uv1])
     bx = jnp.floor(uvp[..., 0] * s_full - 0.5).astype(jnp.int32)
     by = jnp.floor(uvp[..., 1] * s_full - 0.5).astype(jnp.int32)
@@ -918,6 +1022,8 @@ def classify_stats(uni: FrameUniforms, cmaps, world, normal, n_dot_l,
             [jnp.sum(taps_full & (pair_layer == c)) for c in range(4)]),
         "pairs_lit_per_cascade": jnp.stack(
             [jnp.sum(radm & (pair_layer == c)) for c in range(4)]),
+        "pairs_route_per_cascade": jnp.stack(
+            [jnp.sum(routem & (pair_layer == c)) for c in range(4)]),
         "light_fetch_per_cascade": jnp.stack(
             [jnp.sum(fetch & (pair_layer == c)) for c in range(4)]),
         "tap_extent_per_cascade": jnp.stack(extents),

@@ -103,15 +103,27 @@ def derive_sparse_config(cfg, occ):
     # cover) — ~1 ms of slicing vs ~14 ms of compaction relayouts. Keep
     # the block path only when the row band is much looser than the
     # block cover (sparse mid-screen geometry).
-    # Tap windows: committed-mode only. The r3 verdict against windows
-    # (profile_taps: 40.6 ms windowed vs 25.6 plain) was the fit
-    # certificate + lax.cond serialization, not the gather rate — in
-    # committed mode the cond is elided and the sub-cliff sub-table
-    # (<= 384^2 quad rows ~= 2.4 MB) gathers ~2x faster rows. Derive a
-    # window for every cascade whose measured tap extent + worst-case
-    # tap padding fits under the cliff; extent overflow is a bounded
-    # edge-clamp artifact the driver's poll catches
-    # (capacity_overflows checks tap_extent_per_cascade).
+    # Routed window tap groups (r5) come FIRST: a per-entry containment
+    # test against the pre-planned footprint window — EXACT (no fit
+    # certificate, conded or committed), sub-cliff gather rate. Adopt a
+    # cascade's route when the candidate exists and enough entries
+    # would route to beat the group overhead.
+    route_counts = occ.get("pairs_route_per_cascade", (0, 0, 0, 0))
+    route_sizes_meas = occ.get("route_window_sizes")
+    route_w = [0, 0, 0, 0]
+    route_c = [0, 0, 0, 0]
+    if route_sizes_meas:
+        for c in range(4):
+            if route_sizes_meas[c] and route_counts[c] >= 4096:
+                route_w[c] = route_sizes_meas[c]
+                route_c[c] = cap1k(route_counts[c], 1.15)
+    route_on = any(route_w)
+
+    # Plain measured-bbox tap windows: committed-mode only (the elided
+    # fit certificate makes extent overflow a bounded edge-clamp
+    # artifact, polled via tap_extent_per_cascade), and only for
+    # cascades WITHOUT an adopted route (the route covers their hot
+    # entries exactly; the full-group remainder is small).
     tap_windows = None
     if getattr(cfg.flags, "committed", False) \
             and "tap_extent_per_cascade" in occ:
@@ -120,7 +132,7 @@ def derive_sparse_config(cfg, occ):
         wins = []
         for c in range(4):
             ext = int(occ["tap_extent_per_cascade"][c])
-            if ext <= 0:
+            if ext <= 0 or route_w[c]:
                 wins.append(0)
                 continue
             need = _round_up(ext + 2 * pad_max + 6, 64)
@@ -160,21 +172,34 @@ def derive_sparse_config(cfg, occ):
     # headroom was ~5 ms of pure padding at flagship occupancy. Overflow
     # stays SAFE (exact dense-fallback frame), so keep margins tight and
     # let FrameDriver re-autotune if a view change overflows repeatedly.
+    # Radius-only groups (r5): LIT-certified pair sides run the 16-row
+    # blocker search instead of the 34-row full core — bit-exact. Only
+    # split when enough entries qualify to beat the extra group
+    # machinery (measured: a (2154, 1705, 61, 0) split cost ~0.2 fps at
+    # the flagship — min-cap padding + 4 more compaction segments
+    # outweigh ~4k x 18 saved rows; break-even ~16k total). Without the
+    # split, the full groups absorb the lit entries. The split is also
+    # disabled when a route candidate was dropped: the measured lit
+    # counts exclude route candidates, so they would be undersized.
+    lit_counts = occ.get("pairs_lit_per_cascade", (0, 0, 0, 0))
+    routes_consistent = all(
+        route_w[c] or not route_counts[c] for c in range(4))
+    lit_split = sum(lit_counts) >= 16384 and routes_consistent
+
     return dataclasses.replace(
         cfg,
         shadow_pen_capacity=cap1k(occ["pairs"], 1.25),
         shadow_pen_cascade_caps=tuple(
-            cap1k(c + e, 1.15) for c, e in zip(occ["pairs_per_cascade"],
-                                               extra_taps)),
-        # Radius-only groups (r5): LIT-certified pair sides run the
-        # 16-row blocker search instead of the 34-row full core —
-        # bit-exact, so unlike the deviation modes this is always on
-        # when measured. 0-count cascades get 0 (group skipped).
+            cap1k(c + e + (0 if lit_split else l)
+                  + (0 if route_w[i] else r), 1.15)
+            for i, (c, e, l, r) in enumerate(zip(
+                occ["pairs_per_cascade"], extra_taps, lit_counts,
+                route_counts))),
         shadow_lit_cascade_caps=(tuple(
-            cap1k(c, 1.15) if c else 0
-            for c in occ["pairs_lit_per_cascade"])
-            if "pairs_lit_per_cascade" in occ
-            and any(occ["pairs_lit_per_cascade"]) else None),
+            cap1k(c, 1.15) if c else 0 for c in lit_counts)
+            if lit_split else None),
+        shadow_route_windows=tuple(route_w) if route_on else None,
+        shadow_route_caps=tuple(route_c) if route_on else None,
         light_window_sizes=light_sizes,
         light_fetch_caps=light_caps,
         shadow_tap_windows=tap_windows,
@@ -238,6 +263,12 @@ def capacity_overflows(cfg, occ) -> list:
                 over.append(f"shadow_lit_cascade_caps[{c}]")
     chk("shadow_pen_block_capacity", occ["pair_blocks"],
         cfg.shadow_pen_block_capacity)
+    if cfg.shadow_route_caps is not None \
+            and "pairs_route_per_cascade" in occ:
+        for c, (n2, cap2) in enumerate(zip(occ["pairs_route_per_cascade"],
+                                           cfg.shadow_route_caps)):
+            if cap2:
+                chk(f"shadow_route_caps[{c}]", n2, cap2)
     # Committed-mode tap windows: an extent outgrowing its window means
     # edge-clamped (wrong) taps — poll it like a capacity (r5).
     if (cfg.shadow_tap_windows is not None

@@ -69,7 +69,8 @@ def footprint_extents(scene, params, state, cfg):
     return jnp.maximum(ext[:, 0], ext[:, 1])
 
 
-def sparse_occupancy(scene, params, state, cfg, light_sizes=None):
+def sparse_occupancy(scene, params, state, cfg, light_sizes=None,
+                     route_sizes=None):
     """Counts for sizing GltfConfig.shadow_pen_capacity /
     contact_capacity on a representative (scene, view): dict of traced
     scalars (int() them outside jit). `state` should carry a real
@@ -77,6 +78,9 @@ def sparse_occupancy(scene, params, state, cfg, light_sizes=None):
 
     light_sizes: static per-cascade light-space window sizes to measure
     fetch/tap splits against (the flag's windows must match the frame's).
+    route_sizes: static per-cascade ROUTE window sizes (r5 routed tap
+    groups) — defaults to cfg.shadow_route_windows; pass candidate sizes
+    at startup so derive_sparse_config can judge adoption.
     """
     from ..passes import contact, shadow_filter
 
@@ -99,13 +103,24 @@ def sparse_occupancy(scene, params, state, cfg, light_sizes=None):
                                   cfg.max_softness, cfg.class_coarse)
         light_windows = (origins, tuple(light_sizes))
 
+    if route_sizes is None:
+        route_sizes = cfg.shadow_route_windows
+    route_windows = None
+    if route_sizes is not None and any(route_sizes):
+        from ..passes.shadow_lightspace import plan_windows
+
+        r_origins, _ = plan_windows(uni, world_v, scene.vert_object,
+                                    route_sizes, cfg.shadow_map_size,
+                                    cfg.max_softness, cfg.class_coarse)
+        route_windows = (r_origins, tuple(route_sizes))
+
     sub = (lambda a: a[::scale, ::scale]) if scale > 1 else (lambda a: a)
     stats = shadow_filter.classify_stats(
         uni, cmaps, sub(g.world), sub(normal), sub(n_dot_l),
         sub(view_depth), sub(frag), cfg.flags.use_pcss, sub(g.valid),
         light_windows=light_windows,
         skip_backfacing=cfg.flags.skip_backfacing_shadows,
-        committed=cfg.flags.committed)
+        committed=cfg.flags.committed, route_windows=route_windows)
 
     cvalid = (g.valid & (n_dot_l > 0.0)
               if cfg.flags.skip_backfacing_shadows else g.valid)
@@ -238,19 +253,34 @@ def measure_sparse_occupancy(scene, params, cfg, frames: int = 2):
     for _ in range(frames):
         _, state = frame(scene, poses[0], state)
 
+    ext_fn = jax.jit(footprint_extents, static_argnums=(3,))
+    ext = np.max([np.asarray(ext_fn(scene, p, state, cfg))
+                  for p in poses], axis=0)
+
     light_sizes = None
     if cfg.effective_light_windows() is not None:
         from ..passes.shadow_lightspace import (window_pad,
                                                 window_size_for_extent)
 
-        ext_fn = jax.jit(footprint_extents, static_argnums=(3,))
-        ext = np.max([np.asarray(ext_fn(scene, p, state, cfg))
-                      for p in poses], axis=0)
         pad = window_pad(cfg.max_softness, cfg.class_coarse)
         light_sizes = tuple(window_size_for_extent(int(e), pad)
                             for e in ext)
 
-    occ_fn = jax.jit(sparse_occupancy, static_argnums=(3, 4))
+    # Candidate ROUTE window sizes (r5 routed tap groups) from the same
+    # footprint extents: footprint + tap-reach margin, sub-cliff only.
+    # classify_stats measures how many pair entries each would capture;
+    # derive_sparse_config decides adoption per cascade.
+    import math
+    pad_route = math.ceil(4.0 * cfg.max_softness) + 2 + 8
+    cand = []
+    for e in ext:
+        need = -(-(int(e) + 2 * pad_route) // 64) * 64
+        cand.append(need if 0 < int(e) and need <= 384 else 0)
+    route_sizes = tuple(cand) if any(cand) else None
+    if cfg.shadow_route_windows is not None:
+        route_sizes = cfg.shadow_route_windows   # poll the live config
+
+    occ_fn = jax.jit(sparse_occupancy, static_argnums=(3, 4, 5))
     out = {}
     for i, p in enumerate(poses):
         taa_need_mis = 0
@@ -259,10 +289,10 @@ def measure_sparse_occupancy(scene, params, cfg, frames: int = 2):
             # against the previous pose's rendered state — the regime the
             # TAA slow path actually runs in (a pose-matched state takes
             # the aligned fast path, making its taa_need meaningless).
-            pre = occ_fn(scene, p, state, cfg, light_sizes)
+            pre = occ_fn(scene, p, state, cfg, light_sizes, route_sizes)
             taa_need_mis = int(np.asarray(pre["taa_need"]))
             _, state = frame(scene, p, state)   # pose-matched prev state
-        stats = occ_fn(scene, p, state, cfg, light_sizes)
+        stats = occ_fn(scene, p, state, cfg, light_sizes, route_sizes)
         cur = {k: (int(v) if np.asarray(v).size == 1
                    else tuple(int(x) for x in np.asarray(v).ravel()))
                for k, v in stats.items()}
@@ -276,4 +306,6 @@ def measure_sparse_occupancy(scene, params, cfg, frames: int = 2):
                 out[k] = max(out[k], v)
     if light_sizes is not None:
         out["light_window_sizes"] = light_sizes
+    if route_sizes is not None:
+        out["route_window_sizes"] = route_sizes
     return out

@@ -562,3 +562,37 @@ def test_radius_only_overflow_falls_back_exact(duck_setup):
     img_t, _ = _run(scene, tiny, params)
     img_f, _ = _run(scene, base, params)
     np.testing.assert_allclose(img_t, img_f, atol=1e-6)
+
+
+def test_route_window_groups_match(duck_setup):
+    """r5 routed window tap groups: entries inside the pre-planned
+    footprint window gather from the dynamic-sliced sub-table — exact
+    containment, so the frame is bit-identical to the unrouted sparse
+    path and the dense path."""
+    scene, cfg, params = duck_setup
+    base = dataclasses.replace(cfg, shadow_pen_capacity=256 * 144)
+    routed = dataclasses.replace(
+        base, shadow_route_windows=(96, 96, 96, 96),
+        shadow_route_caps=(8192, 8192, 8192, 8192))
+    img_r, st_r = _run(scene, routed, params)
+    img_u, st_u = _run(scene, base, params)
+    np.testing.assert_allclose(img_r, img_u, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_r.shadow_history),
+                               np.asarray(st_u.shadow_history), atol=1e-6)
+    dense_cfg = dataclasses.replace(
+        cfg, flags=dataclasses.replace(cfg.flags, sparse_shadows=False))
+    img_d, _ = _run(scene, dense_cfg, params)
+    np.testing.assert_allclose(img_r, img_d, atol=1e-6)
+
+
+def test_route_window_overflow_falls_back_exact(duck_setup):
+    """Undersized route caps take the dense fallback cond — image
+    unchanged."""
+    scene, cfg, params = duck_setup
+    base = dataclasses.replace(cfg, shadow_pen_capacity=256 * 144)
+    tiny = dataclasses.replace(
+        base, shadow_route_windows=(96, 96, 96, 96),
+        shadow_route_caps=(16, 16, 16, 16))
+    img_t, _ = _run(scene, tiny, params)
+    img_f, _ = _run(scene, base, params)
+    np.testing.assert_allclose(img_t, img_f, atol=1e-6)
