@@ -645,7 +645,7 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
             by = jnp.floor(uv[..., 1] * s_full - 0.5).astype(jnp.int32)
             inw = jnp.zeros(cas.shape, bool)
             for c in range(n_casc):
-                if r_sizes[c] and caps_rt[c]:
+                if r_sizes[c] and caps_rt[c] and r_sizes[c] < s_full:
                     oy, ox = r_origins[c]
                     inw = inw | (
                         (cas == c)
@@ -816,13 +816,17 @@ def cascaded_shadow_sparse(uni: FrameUniforms, shadow_maps: jnp.ndarray,
                 # Routed groups: every entry is inside the pre-planned
                 # footprint window minus the tap-reach margin — the
                 # dynamic-sliced sub-table read is EXACT by construction
-                # (no fit certificate, no cond).
+                # (no fit certificate, no cond). A window >= the map
+                # (inconsistent config) degenerates to the full table.
                 wcr = int(r_sizes[c])
-                oy, ox = r_origins[c]
-                win = jax.lax.dynamic_slice(
-                    shadow_maps, (c, oy, ox, 0), (1, wcr, wcr, 4))[0]
-                dense = scatter_back(dense, compc,
-                                     taps((win, (oy, ox), s_full)))
+                if 0 < wcr < s_full:
+                    oy, ox = r_origins[c]
+                    win = jax.lax.dynamic_slice(
+                        shadow_maps, (c, oy, ox, 0), (1, wcr, wcr, 4))[0]
+                    vals = taps((win, (oy, ox), s_full))
+                else:
+                    vals = taps(None)
+                dense = scatter_back(dense, compc, vals)
                 continue
 
             wc = (int(tap_windows[c])

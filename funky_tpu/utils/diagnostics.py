@@ -275,7 +275,8 @@ def measure_sparse_occupancy(scene, params, cfg, frames: int = 2):
     cand = []
     for e in ext:
         need = -(-(int(e) + 2 * pad_route) // 64) * 64
-        cand.append(need if 0 < int(e) and need <= 384 else 0)
+        cand.append(need if 0 < int(e) and need <= 384
+                    and need < cfg.shadow_map_size else 0)
     route_sizes = tuple(cand) if any(cand) else None
     if cfg.shadow_route_windows is not None:
         route_sizes = cfg.shadow_route_windows   # poll the live config
