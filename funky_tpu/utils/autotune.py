@@ -96,12 +96,6 @@ def derive_sparse_config(cfg, occ):
         return max(_round_up(count * headroom, 128), 128)
 
     def cap1k(count, headroom=1.3):
-        # 256-quantum floor for near-empty groups (r5): a routed
-        # cascade's full-group remainder can be ~tens of entries, and a
-        # 1024-slot floor pays 1024 x 34 padded gather rows for them;
-        # 256 keeps jit-stability against count drift at 4x less pad.
-        if count * headroom <= 768:
-            return max(_round_up(count * headroom, 256), 256)
         return max(_round_up(count * headroom, 1024), 1024)
 
     # Row-slab vs valid-block back half: the slab wins whenever the
