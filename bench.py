@@ -116,15 +116,18 @@ def main():
     # the same math as the exact path with every verified overflow cond
     # elided (frame.GltfFrameFlags.committed: each cond is an XLA
     # scheduling barrier; capacities are verified by the autotune below
-    # over exactly these poses). The r5 per-variant-tuned A/B
-    # (experiments/ab_lightflags_tuned.py, PERF.md r5 table) measured
-    # committed at 80.9 ms vs 96.0 exact-conded, and every other r4
-    # deviation mode (light-space ground PCSS, synthesized maps,
-    # back-face skip) net-negative even with committed + per-variant
-    # caps, so they stay off; synthesized maps still carry the
+    # over exactly these poses) — PLUS synthesized cascade maps (the
+    # documented ~1-ulp-class deviation, passes/shadow.py): once r5
+    # made the synth_ok window-fit certificate POLLABLE and elided its
+    # cond too, synth+committed measured 66.8 ms vs 75.4 committed
+    # -exact (experiments/ab_synth_committed.py) — the r4 "synth loses
+    # in-frame" verdict was entirely the cond barrier. The other
+    # deviation modes (light-space ground PCSS, back-face skip) remain
+    # net-negative and stay off. Synthesized maps also carry the
     # multi-chip path, where they delete the 67 MB/frame cascade
     # all-gather (parallel/sharded_frame.py).
-    cfg = GltfConfig(flags=GltfFrameFlags(committed=True))
+    cfg = GltfConfig(flags=GltfFrameFlags(committed=True,
+                                          synth_shadow_maps=True))
     params = default_gltf_params(gltf_min_y=gltf_min_y)
 
     # Chain >= 24 frames per drain fetch: the tunnel bills ~33 ms per

@@ -219,10 +219,11 @@ class GltfFrameFlags:
     # FrameDriver's runtime occupancy poll (utils.autotune.
     # capacity_overflows — the same counts) detects it within
     # retune_check_every frames and re-tunes. The synth_ok window-fit
-    # cond is NOT elided: it is a geometric certificate with no
-    # occupancy-poll counterpart, so dropping it would trade a global,
-    # undetected artifact for one cond (ADVICE r4). Perf mode, default
-    # off; the cond'd path is the parity reference.
+    # cond is elided too (r5): its geometric certificate is polled at
+    # runtime via the same machinery (shadow.synth_windows_fit ->
+    # capacity_overflows "synth_window_fit" — the ADVICE r4
+    # alternative). Perf mode, default off; the cond'd path is the
+    # parity reference.
     committed: bool = False
 
     @property
@@ -939,14 +940,20 @@ def render_gltf_frame(scene: DeviceScene, params: GltfParams,
             maps_s, synth_ok = shadow.synthesize_shadow_maps(
                 scene, world_v, uni, cfg.shadow_map_size, light_sizes,
                 origins)
-            # synth_ok stays cond'd even in committed mode: it is a
-            # geometric window-fit certificate, not a capacity count —
-            # capacity_overflows has no corresponding check, so eliding
-            # it would let a view change silently drop occluder shadows
-            # across entire cascades with no runtime detection
-            # (ADVICE r4, high).
-            raw_maps = jax.lax.cond(synth_ok, lambda _: maps_s,
-                                    full_raster, operand=None)
+            if flags.committed:
+                # Elided synth_ok cond — legitimate as of r5 because the
+                # SAME geometric window-fit certificate is now polled at
+                # runtime (shadow.synth_windows_fit -> sparse_occupancy
+                # "synth_window_overflow" -> capacity_overflows
+                # "synth_window_fit" — ADVICE r4's offered alternative):
+                # an occluder outgrowing its window costs bounded frames
+                # of dropped occluder shadow until the driver re-derives
+                # the window sizes, no longer a silent permanent
+                # artifact.
+                raw_maps = maps_s
+            else:
+                raw_maps = jax.lax.cond(synth_ok, lambda _: maps_s,
+                                        full_raster, operand=None)
         else:
             raw_maps = full_raster(None)
         # Materialize the raw maps once: both the class-map build and the

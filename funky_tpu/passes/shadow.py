@@ -91,6 +91,44 @@ def _crop_matrix(lvp: jnp.ndarray, origin, wc: int, size: int):
     ])
 
 
+def synth_windows_fit(world_v: jnp.ndarray, vert_object: jnp.ndarray,
+                      light_view_proj: jnp.ndarray, size: int, sizes,
+                      origins) -> jnp.ndarray:
+    """The window-fit certificate of synthesize_shadow_maps as a
+    standalone cheap program (no raster): every cascade's occluder uv
+    bbox (+1 texel raster margin) lies inside its window, or entirely
+    off-map. Shared by the frame's synth path and the occupancy poll so
+    committed mode can legitimately elide the synth_ok cond — the
+    driver's capacity_overflows check catches a view change that
+    outgrows a window (ADVICE r4 alternative)."""
+    from .shadow_lightspace import occluder_uv_bbox
+
+    lo_uv, hi_uv = occluder_uv_bbox(world_v, vert_object,
+                                    light_view_proj)
+    ok = jnp.ones((), bool)
+    for c in range(light_view_proj.shape[0]):
+        wc = min(sizes[c], size) if sizes[c] else 0
+        if wc:
+            oy, ox = origins[c]
+            lo_t = jnp.maximum(
+                jnp.floor(lo_uv[c] * size).astype(jnp.int32) - 1, 0)
+            hi_t = jnp.minimum(
+                jnp.ceil(hi_uv[c] * size).astype(jnp.int32) + 1, size)
+            ok_c = ((jnp.minimum(lo_t[0], size) >= ox)
+                    & (hi_t[0] <= ox + wc)
+                    & (jnp.minimum(lo_t[1], size) >= oy)
+                    & (hi_t[1] <= oy + wc))
+            off = (hi_t[0] <= lo_t[0]) | (hi_t[1] <= lo_t[1])
+            ok = ok & (ok_c | off)
+        else:
+            lo_t = jnp.floor(lo_uv[c] * size) - 1.0
+            hi_t = jnp.ceil(hi_uv[c] * size) + 1.0
+            off = ((hi_t[0] <= 0) | (lo_t[0] >= size)
+                   | (hi_t[1] <= 0) | (lo_t[1] >= size))
+            ok = ok & off
+    return ok
+
+
 def synthesize_shadow_maps(scene, world_v: jnp.ndarray, uni, size: int,
                            sizes, origins,
                            win_cfg: RasterConfig | None = None):

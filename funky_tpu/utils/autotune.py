@@ -269,6 +269,11 @@ def capacity_overflows(cfg, occ) -> list:
                                            cfg.shadow_route_caps)):
             if cap2:
                 chk(f"shadow_route_caps[{c}]", n2, cap2)
+    # Synthesized-map window fit (committed mode elides the synth_ok
+    # cond; the poll carries the same geometric certificate instead —
+    # ADVICE r4 alternative).
+    if occ.get("synth_window_overflow", 0) > 0:
+        over.append("synth_window_fit")
     # Committed-mode tap windows: an extent outgrowing its window means
     # edge-clamped (wrong) taps — poll it like a capacity (r5).
     if (cfg.shadow_tap_windows is not None

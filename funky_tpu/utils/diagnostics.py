@@ -103,6 +103,20 @@ def sparse_occupancy(scene, params, state, cfg, light_sizes=None,
                                   cfg.max_softness, cfg.class_coarse)
         light_windows = (origins, tuple(light_sizes))
 
+    # Synth window-fit certificate as a pollable stat (committed mode
+    # elides the in-frame synth_ok cond; ADVICE r4's offered
+    # alternative). Stored inverted so the per-pose max-combine keeps
+    # "any pose overflowed".
+    synth_overflow = None
+    if cfg.flags.synth_shadow_maps and light_windows is not None:
+        from ..passes.shadow import synth_windows_fit
+
+        fit = synth_windows_fit(world_v, scene.vert_object,
+                                uni.light_view_proj,
+                                cfg.shadow_map_size, light_windows[1],
+                                light_windows[0])
+        synth_overflow = 1 - fit.astype(jnp.int32)
+
     if route_sizes is None:
         route_sizes = cfg.shadow_route_windows
     route_windows = None
@@ -121,6 +135,8 @@ def sparse_occupancy(scene, params, state, cfg, light_sizes=None,
         light_windows=light_windows,
         skip_backfacing=cfg.flags.skip_backfacing_shadows,
         committed=cfg.flags.committed, route_windows=route_windows)
+    if synth_overflow is not None:
+        stats["synth_window_overflow"] = synth_overflow
 
     cvalid = (g.valid & (n_dot_l > 0.0)
               if cfg.flags.skip_backfacing_shadows else g.valid)

@@ -98,3 +98,31 @@ def test_committed_overflow_is_detectable(tuned_setup):
     over = capacity_overflows(tiny, occ)
     assert "shadow_pen_capacity" in over
     assert "contact_capacity" in over
+
+
+def test_committed_synth_window_overflow_is_detectable(tuned_setup):
+    """ADVICE r4 (low): committed mode elides the synth_ok window-fit
+    cond, so the DRIVER-style runtime poll (sparse_occupancy with the
+    live config's window sizes -> capacity_overflows) must flag an
+    undersized synth window — the certificate rides the poll instead of
+    the cond."""
+    import jax
+
+    from funky_tpu.utils.diagnostics import sparse_occupancy
+
+    scene, cfg, params = tuned_setup
+    synth = dataclasses.replace(
+        cfg, light_window_sizes=(16, 16, 16, 16),
+        flags=dataclasses.replace(cfg.flags, committed=True,
+                                  synth_shadow_maps=True))
+    frame = compiled_gltf_frame(synth)
+    state = init_frame_state(synth)
+    for _ in range(2):
+        _, state = frame(scene, params, state)
+    occ_fn = jax.jit(sparse_occupancy, static_argnums=(3, 4))
+    stats = occ_fn(scene, params, state, synth,
+                   synth.effective_light_windows())
+    occ = {k: (int(v) if np.asarray(v).size == 1
+               else tuple(int(x) for x in np.asarray(v).ravel()))
+           for k, v in stats.items()}
+    assert "synth_window_fit" in capacity_overflows(synth, occ)
